@@ -1,0 +1,175 @@
+"""Shared NHWC building blocks for the model zoo.
+
+TPU-first conventions:
+  * NHWC layout (XLA's native TPU conv layout) — inputs are [B, H, W, C].
+  * Params live in fp32; compute dtype is configurable (bfloat16 default in
+    training) via the ``dtype`` attribute threaded through every block.
+  * BatchNorm statistics are computed over the *global* batch: under jit with
+    a data-sharded batch, XLA inserts the cross-chip reduction automatically,
+    so data-parallel training gets sync-BN semantics by construction (the
+    reference's per-replica DataParallel stats are a quirk, not a feature).
+
+Initializers mirror the reference families:
+  * ``normal_init(0.02)`` — pix2pix-style UNet baseline
+    (models/unetbaseline_model.py:9-40 in the reference).
+  * ``kaiming_init()`` — fan_out ReLU init used by the residual/attention/
+    adabins/coarse families (e.g. models/base_residual_model.py:142-151).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def normal_init(std: float = 0.02):
+    return nn.initializers.normal(stddev=std)
+
+
+def kaiming_init():
+    # torch kaiming_normal_(mode='fan_out', nonlinearity='relu')
+    return nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d twin: momentum 0.9 (torch 0.1), eps 1e-5, affine."""
+
+    use_running_average: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+        )(x)
+
+
+def make_norm(norm: str, train: bool, dtype: Dtype):
+    """norm in {batch, instance, none} (unetbaseline_model.py:59-77)."""
+    if norm == "batch":
+        return lambda x: BatchNorm(use_running_average=not train, dtype=dtype)(x)
+    if norm == "instance":
+        # InstanceNorm: per-sample, per-channel spatial normalization,
+        # no affine params, no running stats.
+        def inorm(x):
+            mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+            var = jnp.var(x, axis=(1, 2), keepdims=True)
+            return (x - mean) * jax.lax.rsqrt(var + 1e-5)
+
+        return inorm
+    if norm == "none":
+        return lambda x: x
+    raise ValueError(f"unknown norm {norm!r}")
+
+
+class ConvDown(nn.Module):
+    """k4 s2 p1 strided conv (the pix2pix down-sampling conv)."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = normal_init()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.features,
+            kernel_size=(4, 4),
+            strides=(2, 2),
+            padding=((1, 1), (1, 1)),
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+        )(x)
+
+
+class ConvUp(nn.Module):
+    """k4 s2 transposed conv producing exactly 2x spatial (pix2pix up conv)."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Callable = normal_init()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.ConvTranspose(
+            self.features,
+            kernel_size=(4, 4),
+            strides=(2, 2),
+            padding="SAME",
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype,
+        )(x)
+
+
+class DoubleConv(nn.Module):
+    """(conv3x3 → BN → ReLU) × 2 (base_residual_model.py:23-40 twin)."""
+
+    features: int
+    mid_features: Optional[int] = None
+    train: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        mid = self.mid_features or self.features
+        for feats in (mid, self.features):
+            x = nn.Conv(
+                feats, (3, 3), padding="SAME", use_bias=False,
+                kernel_init=kaiming_init(), dtype=self.dtype,
+            )(x)
+            x = BatchNorm(use_running_average=not self.train, dtype=self.dtype)(x)
+            x = nn.relu(x)
+        return x
+
+
+class Down(nn.Module):
+    """maxpool2 then DoubleConv."""
+
+    features: int
+    train: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return DoubleConv(self.features, train=self.train, dtype=self.dtype)(x)
+
+
+class UpBilinear(nn.Module):
+    """2x bilinear upsample → concat skip → DoubleConv(out, mid=in//2).
+
+    Twin of the bilinear branch of Up (base_residual_model.py:57-80). The
+    reference uses align_corners=True upsampling; here we use half-pixel
+    (align_corners=False) resize, which XLA lowers to an efficient gather —
+    the difference is an interpolation phase detail, not a capability one,
+    and weights are never ported.
+    """
+
+    features: int
+    train: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="linear")
+        x = jnp.concatenate([skip, x.astype(skip.dtype)], axis=-1)
+        in_ch = x.shape[-1]
+        return DoubleConv(
+            self.features, mid_features=in_ch // 2, train=self.train, dtype=self.dtype
+        )(x)
+
+
+def count_params(params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

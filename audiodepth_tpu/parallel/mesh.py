@@ -1,0 +1,56 @@
+"""Device mesh + sharding rules.
+
+The reference's only parallelism is single-process DataParallel capped at 4
+GPUs (models/unetbaseline_model.py:52-56, train.py:255-283). Here data
+parallelism is first-class SPMD: a 1-D ('data',) mesh, batches sharded on
+axis 0, parameters/optimizer state replicated; XLA inserts the gradient
+all-reduce (and the BatchNorm cross-chip stat reduction) over ICI
+automatically. An optional ('data','model') 2-D mesh is supported for the
+attention families, where the HW×HW cross-attention is the one op worth
+model-sharding.
+
+Multi-host: call jax.distributed.initialize() before make_mesh(); the same
+code paths then span slices over DCN.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if shape is None:
+        shape = [len(devices)] + [1] * (len(axis_names) - 1)
+    arr = np.asarray(devices).reshape(tuple(shape))
+    return Mesh(arr, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension across the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Device-put every array in a batch pytree, sharded on dim 0."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

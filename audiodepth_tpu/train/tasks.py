@@ -1,0 +1,134 @@
+"""Task definitions: the per-model-family glue between data, model, and loss.
+
+The reference re-implements its whole train loop once per model family
+(train.py, train_cvae.py, train_base_residual.py, ... — SURVEY §1). Here ONE
+engine (train/engine.py) drives any Task; a Task owns the model, the
+criterion, the input preparation (device front end), and the
+training/eval-time output semantics for its family.
+
+Batch convention: dict of arrays with leading batch dim —
+  * 'waveform' [B, C, L] raw audio (front end runs inside the jitted step), or
+  * 'input'    [B, H, W, C] pre-computed model input (NHWC), and
+  * 'depth'    [B, H, W, 1] ground truth in dataset units (normalized to
+               [0,1] when cfg.dataset.depth_norm, meters otherwise).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import Config
+from ..data.frontend import make_frontend
+from ..losses import make_criterion
+from ..metrics import compute_errors_batch
+from ..models.unet import build_unet
+
+
+class Task:
+    """Base task: subclasses set self.model and override loss/predict."""
+
+    name = "base"
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.max_depth = float(cfg.dataset.max_depth)
+        self.depth_norm = bool(cfg.dataset.depth_norm)
+        self.criterion = make_criterion(
+            cfg.mode.criterion,
+            l1_weight=cfg.mode.l1_weight,
+            silog_weight=cfg.mode.silog_weight,
+            silog_lambda=cfg.mode.silog_lambda,
+        )
+        self._frontend = make_frontend(cfg)
+        self.model = None  # set by subclass
+
+    # -- input ---------------------------------------------------------
+    def prepare(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        if "input" in batch:
+            return batch["input"]
+        return self._frontend(batch["waveform"])
+
+    # -- depth-unit helpers ---------------------------------------------
+    def to_meters(self, depth_like: jnp.ndarray) -> jnp.ndarray:
+        return depth_like * self.max_depth if self.depth_norm else depth_like
+
+    # -- model plumbing --------------------------------------------------
+    def init(self, rng: jax.Array, batch: Dict[str, jnp.ndarray]) -> Dict[str, Any]:
+        x = self.prepare(batch)
+        return self.model.init({"params": rng, "dropout": rng}, x, train=False)
+
+    def apply_train(self, params, batch_stats, x, rng):
+        variables = {"params": params}
+        mutable = []
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        out, mutated = self.model.apply(
+            variables, x, train=True, mutable=mutable, rngs={"dropout": rng}
+        )
+        return out, mutated.get("batch_stats") if mutable else None
+
+    def apply_eval(self, params, batch_stats, x):
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        return self.model.apply(variables, x, train=False)
+
+    # -- training loss ----------------------------------------------------
+    def loss_fn(
+        self, params, batch_stats, batch, rng, epoch: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, Tuple[Any, Dict[str, jnp.ndarray]]]:
+        raise NotImplementedError
+
+    # -- evaluation -------------------------------------------------------
+    def predict_meters(self, params, batch_stats, batch) -> jnp.ndarray:
+        """Depth prediction in meters, clipped to (eps, max_depth]."""
+        raise NotImplementedError
+
+    def eval_metrics(self, params, batch_stats, batch) -> Dict[str, jnp.ndarray]:
+        """Per-sample metric arrays (train.py:782-844 validation semantics)."""
+        pred_m = self.predict_meters(params, batch_stats, batch)
+        gt_m = self.to_meters(batch["depth"])
+        eps = 1e-3  # metric scale: evaluation always happens in meters
+        pred_m = jnp.clip(pred_m, eps, self.max_depth)
+        out = compute_errors_batch(gt_m, pred_m, metric_scale=True)
+        # eval loss: L1 on valid pixels in model units (test.py:240)
+        mask = batch["depth"] != 0
+        w = mask.astype(jnp.float32)
+        l1 = jnp.sum(jnp.abs(self.predict_raw(params, batch_stats, batch) - batch["depth"]) * w) / jnp.maximum(jnp.sum(w), 1.0)
+        out["loss"] = jnp.broadcast_to(l1, out["rmse"].shape)
+        return out
+
+    def predict_raw(self, params, batch_stats, batch) -> jnp.ndarray:
+        x = self.prepare(batch)
+        return self.apply_eval(params, batch_stats, x)
+
+
+class UNetBaselineTask(Task):
+    """unet_baseline: UNet-256 + masked Combined/L1/SIlog loss in meters.
+
+    Loss semantics (train.py:646-669): valid mask is gt != 0; when
+    depth_norm, the loss is computed on *denormalized* (meter-scale) pred
+    and gt, with no clamping of predictions.
+    """
+
+    name = "unet_baseline"
+
+    def __init__(self, cfg: Config, input_nc: Optional[int] = None):
+        super().__init__(cfg)
+        self.model = build_unet(cfg, input_nc=input_nc)
+
+    def loss_fn(self, params, batch_stats, batch, rng, epoch):
+        x = self.prepare(batch)
+        pred, new_stats = self.apply_train(params, batch_stats, x, rng)
+        gt = batch["depth"]
+        mask = gt != 0
+        loss = self.criterion(self.to_meters(pred), self.to_meters(gt), mask)
+        aux = {"loss": loss}
+        return loss, (new_stats, aux)
+
+    def predict_meters(self, params, batch_stats, batch):
+        return self.to_meters(self.predict_raw(params, batch_stats, batch))

@@ -1,0 +1,59 @@
+"""Data-parallel sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiodepth_tpu.configs import load_config
+from audiodepth_tpu.data.synthetic import SyntheticEchoDataset
+from audiodepth_tpu.models import make_task
+from audiodepth_tpu.parallel.mesh import make_mesh, shard_batch, batch_sharding
+from audiodepth_tpu.train import Engine
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data",)
+
+
+def test_dp_train_step_sharded_runs_and_matches_single():
+    over = {
+        "model.generator": "unet_128",
+        "model.ngf": 4,
+        "dataset.images_size": 128,
+        "mode.batch_size": 8,
+        "mode.compute_dtype": "float32",
+    }
+    cfg = load_config("batvisionv2", "train", "t", "unet_baseline", overrides=over)
+    ds = SyntheticEchoDataset(cfg, num_samples=8, seed=0)
+    batch = next(ds.batches(8, shuffle=False))
+    task = make_task(cfg)
+
+    # single-device
+    eng1 = Engine(cfg, task)
+    s1 = eng1.init_state(jax.random.PRNGKey(0), batch)
+    s1, m1 = eng1.train_step(s1, batch)
+
+    # 8-way data parallel
+    mesh = make_mesh()
+    eng8 = Engine(cfg, task, mesh=mesh)
+    s8 = eng8.init_state(jax.random.PRNGKey(0), batch)
+    s8, m8 = eng8.train_step(s8, batch)
+
+    # same global computation → same loss (fp32 tolerance; BN stats are
+    # global-batch on both paths because the reduction spans the whole batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4)
+    # params should agree after one step
+    p1 = jax.tree_util.tree_leaves(s1.params)[0]
+    p8 = jax.tree_util.tree_leaves(s8.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), rtol=1e-3, atol=1e-5)
+
+
+def test_batch_sharding_layout():
+    mesh = make_mesh()
+    x = np.zeros((16, 4), np.float32)
+    sharded = jax.device_put(x, batch_sharding(mesh))
+    assert len(sharded.addressable_shards) == 8
+    assert sharded.addressable_shards[0].data.shape == (2, 4)
