@@ -1,0 +1,110 @@
+"""Checkpointing: orbax-backed train-state save/restore.
+
+Replaces the reference's per-driver torch.save dicts
+({epoch, state_dict, optimizer} every `saving_checkpoints` epochs plus
+best_model variants — train.py:1005-1021, train_coarse_depth.py:620-640)
+with one manager:
+
+  * layout: {root}/{experiment_name}/  with numbered step dirs + a
+    'best' alias, mirroring ./checkpoints/<exp>/checkpoint_<epoch>.pth;
+  * payload: full TrainState (params, batch_stats, opt_state, step) plus an
+    aux dict (e.g. bin_centers/bin_edges for the coarse family);
+  * auto-resume-from-latest (the reference makes you pass --checkpoints N;
+    here latest() finds it), fixing the reference inconsistency where
+    train.py forgot to restore optimizer state (train.py:604-605).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ..train.engine import TrainState
+
+
+_EMPTY_AUX = {"__empty__": np.zeros((1,), np.float32)}
+
+
+class CheckpointManager:
+    def __init__(self, root: str, experiment_name: str, max_to_keep: int = 20):
+        self.directory = os.path.abspath(os.path.join(root, experiment_name))
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True
+            ),
+        )
+
+    def save(self, epoch: int, state: TrainState, aux: Optional[Dict[str, Any]] = None,
+             metrics: Optional[Dict[str, float]] = None) -> None:
+        if epoch in (self._mgr.all_steps() or []):
+            return  # idempotent: best-save and periodic-save can coincide
+        # constant payload structure so restore templates always match
+        payload = {"state": state, "aux": aux if aux else _EMPTY_AUX}
+        self._mgr.save(
+            epoch, args=ocp.args.StandardSave(payload),
+            metrics={k: float(v) for k, v in (metrics or {}).items()} or None,
+        )
+
+    def latest_epoch(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state_template: TrainState, epoch: Optional[int] = None,
+                aux_template: Optional[Dict[str, Any]] = None):
+        """Restore (state, aux, epoch) at `epoch` (default: latest)."""
+        if epoch is None:
+            epoch = self._mgr.latest_step()
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        # discover aux structure from on-disk metadata when not provided
+        if aux_template is None:
+            meta = self._mgr.item_metadata(epoch)
+            aux_meta = meta.tree.get("aux") if hasattr(meta, "tree") else None
+            if aux_meta is not None:
+                aux_template = jax.tree_util.tree_map(
+                    lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), aux_meta
+                )
+        template = {"state": state_template, "aux": aux_template or _EMPTY_AUX}
+        restored = self._mgr.restore(epoch, args=ocp.args.StandardRestore(template))
+        aux = restored.get("aux")
+        if aux is not None and set(aux) == set(_EMPTY_AUX):
+            aux = None
+        return restored["state"], aux, epoch
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()
+
+
+class BestTracker:
+    """Best-model tracking by a chosen metric (train.py:613-620,873-913).
+
+    delta1 is maximized; every other metric (rmse/abs_rel/mae/loss) is
+    minimized.
+    """
+
+    MAXIMIZE = {"delta1", "delta2", "delta3"}
+
+    def __init__(self, metric: str = "rmse"):
+        self.metric = metric
+        self.best_value: Optional[float] = None
+        self.best_epoch: Optional[int] = None
+
+    def update(self, epoch: int, metrics: Dict[str, float]) -> bool:
+        value = float(metrics[self.metric])
+        better = (
+            self.best_value is None
+            or (value > self.best_value if self.metric in self.MAXIMIZE
+                else value < self.best_value)
+        )
+        if better:
+            self.best_value = value
+            self.best_epoch = epoch
+        return better

@@ -1,0 +1,132 @@
+"""Evaluation CLI (the reference's test.py twin).
+
+`python -m audiodepth_tpu.cli.evaluate --experiment_name ... [--checkpoints N]`
+
+Reference semantics carried over (test.py):
+  * checkpoint resolution by experiment name + epoch, with a helpful
+    available-epochs error (test.py:44-203);
+  * eval split selection val/test (conf/mode/test.yaml eval_on);
+  * per-sample compute_errors with denorm + clip (test.py:243-285);
+  * prints mean abs_rel/RMSE/δ1-3/log10/MAE (test.py:322-332);
+  * saves a stats artifact with per-sample metric vectors AND the full
+    gt/pred tensors (test.py:339-366) — here an .npz under
+    {stat_dir}/{dataset}/{split}/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="TPU-native audio-depth evaluation")
+    p.add_argument("--dataset", default="batvisionv2",
+                   choices=["batvisionv1", "batvisionv2", "synthetic"])
+    p.add_argument("--model", default="unet_baseline")
+    p.add_argument("--experiment_name", default="default")
+    p.add_argument("--dataset_dir", default=None)
+    p.add_argument("--eval_on", default="test", choices=["test", "val"])
+    p.add_argument("--checkpoints", type=int, default=None, help="epoch (default latest)")
+    p.add_argument("--ckpt_dir", default="./checkpoints")
+    p.add_argument("--stat_dir", default="./eval/")
+    p.add_argument("--batch_size", type=int, default=None)
+    # model hyperparameters must match the trained checkpoint
+    p.add_argument("--generator", default=None, choices=[None, "unet_256", "unet_128"])
+    p.add_argument("--ngf", type=int, default=None)
+    p.add_argument("--base_channels", type=int, default=None)
+    p.add_argument("--n_bins", type=int, default=None)
+    p.add_argument("--model_type", default=None)
+    p.add_argument("--compute_dtype", default=None, choices=[None, "bfloat16", "float32"])
+    p.add_argument("--visualize", action="store_true")
+    p.add_argument("--results_dir", default="./results")
+    p.add_argument("--save_tensors", action="store_true",
+                   help="include full gt/pred tensors in the stats artifact")
+    args = p.parse_args(argv)
+
+    from ..configs import experiment_name, load_config
+    from ..ckpt import CheckpointManager
+    from ..data.batvision import make_dataset
+    from ..metrics import METRIC_NAMES
+    from ..models import make_task
+    from ..obs import save_batch_visualization
+    from ..train import Engine
+
+    overrides = {"mode.eval_on": args.eval_on}
+    for key, val in {
+        "dataset.dataset_dir": args.dataset_dir,
+        "mode.batch_size": args.batch_size,
+        "model.generator": args.generator,
+        "model.ngf": args.ngf,
+        "model.base_channels": args.base_channels,
+        "model.n_bins": args.n_bins,
+        "model.model_type": args.model_type,
+        "mode.compute_dtype": args.compute_dtype,
+    }.items():
+        if val is not None:
+            overrides[key] = val
+    cfg = load_config(args.dataset, "test", args.experiment_name, args.model,
+                      overrides=overrides)
+    # eval batching: test.yaml default is 1; larger is fine on TPU
+    bs = args.batch_size or 16
+
+    task = make_task(cfg)
+    ds = make_dataset(cfg, args.eval_on)
+    eng = Engine(cfg, task)
+    sample = next(ds.batches(bs, shuffle=False))
+    state = eng.init_state(jax.random.PRNGKey(0), sample)
+
+    exp = experiment_name(cfg) if args.experiment_name == "default" else args.experiment_name
+    mgr = CheckpointManager(args.ckpt_dir, exp)
+    try:
+        state, aux, epoch = mgr.restore(state, epoch=args.checkpoints)
+    except FileNotFoundError:
+        avail = []
+        raise SystemExit(
+            f"checkpoint not found under {mgr.directory}; available epochs: {avail}"
+        )
+    print(f"evaluating {exp} @ epoch {epoch} on {args.eval_on}")
+
+    per_sample = {k: [] for k in METRIC_NAMES + ("loss",)}
+    gts, preds = [], []
+    for i, batch in enumerate(ds.batches(bs, shuffle=False, drop_last=False)):
+        out = eng.eval_step(state, batch)
+        for k in per_sample:
+            per_sample[k].append(np.asarray(out[k]))
+        if args.visualize and i == 0:
+            pred = np.asarray(task.predict_meters(
+                state.params, state.batch_stats, eng.put_batch(batch)))
+            gt_m = np.asarray(batch["depth"])
+            if cfg.dataset.depth_norm:
+                gt_m = gt_m * cfg.dataset.max_depth
+            os.makedirs(args.results_dir, exist_ok=True)
+            save_batch_visualization(
+                gt_m, pred, os.path.join(args.results_dir, f"{exp}_eval.png"),
+                max_depth=cfg.dataset.max_depth,
+            )
+        if args.save_tensors:
+            gts.append(np.asarray(batch["depth"]))
+            preds.append(np.asarray(task.predict_meters(
+                state.params, state.batch_stats, eng.put_batch(batch))))
+
+    per_sample = {k: np.concatenate(v) for k, v in per_sample.items()}
+    means = {k: float(v.mean()) for k, v in per_sample.items()}
+    print("  ".join(f"{k}={v:.4f}" for k, v in means.items()))
+
+    out_dir = os.path.join(args.stat_dir, cfg.dataset.name, args.eval_on)
+    os.makedirs(out_dir, exist_ok=True)
+    artifact = os.path.join(out_dir, f"stats_on_{exp}_epoch{epoch}.npz")
+    payload = dict(per_sample)
+    if args.save_tensors and gts:
+        payload["gt"] = np.concatenate(gts)
+        payload["pred"] = np.concatenate(preds)
+    np.savez_compressed(artifact, **payload)
+    print(f"stats artifact: {artifact}")
+    return means
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,203 @@
+"""Unified training CLI — one driver for every model family.
+
+Replaces the reference's seven specialized train scripts (train.py,
+train_cvae.py, train_base_residual.py, train_binaural_attention.py,
+train_rgb_depth.py, train_adabins_distillation.py, train_coarse_depth.py)
+with a single entry point: `python -m audiodepth_tpu.cli.train --model ...`.
+
+Reference driver features carried over:
+  * criterion selection with auto-Combined inference when any loss weight
+    is given explicitly (train.py:392-467);
+  * lr sanity bounds (hard error > 0.1 — train.py:227-238, enforced in
+    configs.validate);
+  * experiment-name assembly keying checkpoints/logs (train.py:286-313);
+  * sequence holdout via --holdout_locations (train.py:294-373);
+  * best-model tracking metric (train.py:613-620);
+  * resume from latest checkpoint (auto) or --checkpoints N.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native audio-depth training")
+    p.add_argument("--dataset", default="batvisionv2",
+                   choices=["batvisionv1", "batvisionv2", "synthetic"])
+    p.add_argument("--model", default="unet_baseline")
+    p.add_argument("--experiment_name", default="default")
+    p.add_argument("--dataset_dir", default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--optimizer", default=None, choices=[None, "Adam", "AdamW", "SGD"])
+    p.add_argument("--criterion", default=None, choices=[None, "L1", "SIlog", "Combined"])
+    p.add_argument("--l1_weight", type=float, default=None)
+    p.add_argument("--silog_weight", type=float, default=None)
+    p.add_argument("--silog_lambda", type=float, default=None)
+    p.add_argument("--lr_schedule", default=None,
+                   choices=[None, "constant", "cosine", "step", "warm_restarts"])
+    p.add_argument("--ngf", type=int, default=None)
+    p.add_argument("--base_channels", type=int, default=None)
+    p.add_argument("--generator", default=None, choices=[None, "unet_256", "unet_128"])
+    p.add_argument("--n_bins", type=int, default=None)
+    p.add_argument("--bin_strategy", default=None, choices=[None, "linear", "log", "sid"])
+    p.add_argument("--model_type", default=None,
+                   choices=[None, "unet", "lite", "hybrid", "dual_reg"])
+    p.add_argument("--holdout_locations", nargs="*", default=None)
+    p.add_argument("--checkpoints", type=int, default=None,
+                   help="epoch to resume from (default: auto-latest)")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--ckpt_dir", default="./checkpoints")
+    p.add_argument("--log_dir", default="./logs")
+    p.add_argument("--best_metric", default="rmse",
+                   choices=["rmse", "abs_rel", "delta1", "mae", "loss"])
+    p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--compute_dtype", default=None, choices=[None, "bfloat16", "float32"])
+    p.add_argument("--num_samples", type=int, default=256,
+                   help="synthetic dataset size")
+    return p
+
+
+def config_from_args(args):
+    from ..configs import load_config
+
+    overrides = {}
+    direct = {
+        "mode.epochs": args.epochs,
+        "mode.learning_rate": args.learning_rate,
+        "mode.batch_size": args.batch_size,
+        "mode.optimizer": args.optimizer,
+        "mode.lr_schedule": args.lr_schedule,
+        "mode.compute_dtype": args.compute_dtype,
+        "model.ngf": args.ngf,
+        "model.base_channels": args.base_channels,
+        "model.generator": args.generator,
+        "model.n_bins": args.n_bins,
+        "model.bin_strategy": args.bin_strategy,
+        "model.model_type": args.model_type,
+        "dataset.dataset_dir": args.dataset_dir,
+        "mode.l1_weight": args.l1_weight,
+        "mode.silog_weight": args.silog_weight,
+        "mode.silog_lambda": args.silog_lambda,
+    }
+    overrides.update({k: v for k, v in direct.items() if v is not None})
+    # smart criterion: any explicit loss weight implies Combined
+    # (train.py:394-399)
+    if args.criterion is not None:
+        overrides["mode.criterion"] = args.criterion
+    elif any(v is not None for v in (args.l1_weight, args.silog_weight, args.silog_lambda)):
+        overrides["mode.criterion"] = "Combined"
+    return load_config(args.dataset, "train", args.experiment_name, args.model,
+                       overrides=overrides)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ..ckpt import BestTracker, CheckpointManager
+    from ..configs import experiment_name, to_dict
+    from ..data.batvision import make_dataset
+    from ..data.bins import add_bins_to_batch
+    from ..models import make_task
+    from ..obs import MetricLogger
+    from ..parallel.mesh import make_mesh
+    from ..train import Engine
+
+    cfg = config_from_args(args)
+    exp = experiment_name(cfg)
+    print(f"experiment: {exp}")
+
+    train_kwargs = {}
+    if args.holdout_locations:
+        train_kwargs["location_blacklist"] = args.holdout_locations
+    with_image = cfg.model.name in ("rgb_depth", "adabins_distillation")
+    if cfg.dataset.name == "synthetic":
+        train_kwargs["with_image"] = with_image
+        train_kwargs["num_samples"] = args.num_samples
+    elif with_image and cfg.dataset.name == "batvisionv2":
+        train_kwargs["use_image"] = cfg.model.name == "rgb_depth"
+
+    train_ds = make_dataset(cfg, "train", **train_kwargs)
+    val_ds = make_dataset(
+        cfg, "val",
+        **({"with_image": with_image} if cfg.dataset.name == "synthetic" else {}),
+    )
+
+    task = make_task(cfg)
+    # data-parallel mesh: batch must divide evenly; use the largest device
+    # count <= available that divides the global batch
+    n_dev = args.num_devices or jax.device_count()
+    while n_dev > 1 and cfg.mode.batch_size % n_dev != 0:
+        n_dev -= 1
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    steps_per_epoch = max(len(train_ds) // cfg.mode.batch_size, 1)
+    eng = Engine(cfg, task, mesh=mesh, steps_per_epoch=steps_per_epoch)
+
+    needs_bins = cfg.model.name == "coarse_depth"
+
+    def wrap(it):
+        for b in it:
+            if needs_bins:
+                b = add_bins_to_batch(b, task.bin_edges, cfg.dataset.max_depth,
+                                      cfg.dataset.depth_norm)
+            yield b
+
+    epoch_seed = [0]
+
+    def train_batches():
+        epoch_seed[0] += 1
+        return wrap(train_ds.batches(cfg.mode.batch_size, shuffle=cfg.mode.shuffle,
+                                     seed=epoch_seed[0]))
+
+    def val_batches():
+        return wrap(val_ds.batches(cfg.mode.batch_size, shuffle=False))
+
+    holdout = None
+    if args.holdout_locations and hasattr(train_ds, "filter_by_audio_path"):
+        from ..data.batvision import make_dataset as _mk
+
+        full = _mk(cfg, "train")
+        holdout = {
+            loc: (lambda l=loc: wrap(
+                full.filter_by_audio_path(l).batches(cfg.mode.batch_size, shuffle=False)
+            ))
+            for loc in args.holdout_locations
+        }
+
+    sample = next(train_batches())
+    state = eng.init_state(jax.random.PRNGKey(cfg.mode.seed), sample)
+
+    mgr = CheckpointManager(args.ckpt_dir, exp)
+    start_epoch = 1
+    if args.resume or args.checkpoints is not None:
+        try:
+            state, _, restored = mgr.restore(state, epoch=args.checkpoints)
+            start_epoch = restored + 1
+            print(f"resumed from epoch {restored}")
+        except FileNotFoundError:
+            print("no checkpoint found; training from scratch")
+
+    logger = MetricLogger(args.log_dir, exp, use_wandb=args.use_wandb,
+                          config=to_dict(cfg))
+    best = BestTracker(args.best_metric)
+    state = eng.fit(
+        state, train_batches, val_batches,
+        start_epoch=start_epoch,
+        ckpt_manager=mgr, best_tracker=best, logger=logger,
+        holdout_batches=holdout,
+    )
+    mgr.wait()
+    logger.close()
+    if best.best_epoch is not None:
+        print(f"best {args.best_metric}: {best.best_value:.4f} @ epoch {best.best_epoch}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,7 @@ class SyntheticEchoDataset:
         num_samples: int = 256,
         seed: int = 0,
         holdout_location: Optional[str] = None,
+        with_image: bool = False,
     ):
         ds = cfg.dataset
         self.size = ds.images_size
@@ -52,6 +53,7 @@ class SyntheticEchoDataset:
         self.length = tof_cut_samples(self.max_depth, self.sr) + 256
         self.num_samples = num_samples
         self.seed = seed
+        self.with_image = with_image
 
     def sample(self, idx: int) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng(self.seed * 100003 + idx)
@@ -76,10 +78,21 @@ class SyntheticEchoDataset:
         wave += rng.normal(0, 0.01, size=wave.shape).astype(np.float32)
 
         depth = depth_m / self.max_depth if self.depth_norm else depth_m
-        return {
+        out = {
             "waveform": wave,
             "depth": depth[..., None],  # NHWC single channel
         }
+        if self.with_image:
+            # paired RGB view: shaded rendering of the scene (teacher input)
+            shade = depth_m / self.max_depth
+            rgb = np.stack(
+                [shade,
+                 np.clip(shade + rng.normal(0, 0.05, shade.shape), 0, 1),
+                 1.0 - shade],
+                axis=-1,
+            ).astype(np.float32)
+            out["image"] = rgb  # [S, S, 3] in [0, 1]
+        return out
 
     def __len__(self) -> int:
         return self.num_samples

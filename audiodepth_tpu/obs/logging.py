@@ -1,0 +1,111 @@
+"""Metrics sink: stdout + JSONL + optional wandb, plus throughput counters.
+
+Covers the reference's observability surface (SURVEY §5): per-epoch
+train/loss, val/{loss,rmse,abs_rel,log10,delta1-3,mae}, epoch wall time
+(train.py:716-721), wandb project logging (train.py:484-569) — degraded
+gracefully to stdout+JSONL when wandb is absent — and adds what the
+reference lacked: steps/sec and spectrogram-pairs/sec/chip counters and a
+jax.profiler trace hook.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+
+
+class MetricLogger:
+    def __init__(
+        self,
+        log_dir: Optional[str] = None,
+        experiment_name: str = "default",
+        use_wandb: bool = False,
+        wandb_project: str = "batvision-depth-estimation",
+        config: Optional[Dict[str, Any]] = None,
+    ):
+        self.experiment_name = experiment_name
+        self._jsonl = None
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            self._jsonl = open(os.path.join(log_dir, f"{experiment_name}.jsonl"), "a")
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    project=wandb_project, name=experiment_name, config=config or {}
+                )
+            except Exception as e:  # wandb absent or offline: degrade
+                print(f"[obs] wandb unavailable ({e}); logging to stdout/jsonl only")
+
+    def log(self, metrics: Dict[str, Any], step: Optional[int] = None) -> None:
+        record = {"step": step, **{k: _to_py(v) for k, v in metrics.items()}}
+        parts = " ".join(
+            f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in record.items() if v is not None
+        )
+        print(f"[{self.experiment_name}] {parts}", flush=True)
+        if self._jsonl:
+            self._jsonl.write(json.dumps(record) + "\n")
+            self._jsonl.flush()
+        if self._wandb:
+            self._wandb.log({k: v for k, v in record.items() if k != "step"}, step=step)
+
+    def close(self):
+        if self._jsonl:
+            self._jsonl.close()
+        if self._wandb:
+            self._wandb.finish()
+
+
+def _to_py(v):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return v
+
+
+class Timer:
+    """Epoch/step timing + pairs/sec/chip throughput counters."""
+
+    def __init__(self):
+        self._t0 = None
+        self.elapsed = 0.0
+
+    def start(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def stop(self) -> float:
+        self.elapsed = time.perf_counter() - self._t0
+        return self.elapsed
+
+    @staticmethod
+    def throughput(samples: int, seconds: float) -> Dict[str, float]:
+        chips = max(jax.device_count(), 1)
+        return {
+            "samples_per_sec": samples / max(seconds, 1e-9),
+            "pairs_per_sec_per_chip": samples / max(seconds, 1e-9) / chips,
+        }
+
+
+class ProfilerHook:
+    """jax.profiler trace around a window of steps."""
+
+    def __init__(self, log_dir: str = "/tmp/adepth_profile"):
+        self.log_dir = log_dir
+        self._active = False
+
+    def start(self):
+        jax.profiler.start_trace(self.log_dir)
+        self._active = True
+
+    def stop(self):
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False

@@ -1,0 +1,286 @@
+"""Pallas TPU flash cross-attention: fused forward AND backward kernels.
+
+Forward: online-softmax attention over (batch, q-block, k-block) grid with
+fp32 running max/sum accumulators in VMEM — peak memory O(block²) instead of
+the reference's full HW×HW materialization (binaural_attention_model.py:
+124-131; 16384² per sample at level 2). Also emits the per-row logsumexp L
+so the backward can rematerialize probabilities blockwise.
+
+Backward: two kernels (standard flash decomposition), never materializing
+an N×N tensor:
+    D  = rowsum(do ⊙ o)                      (XLA, elementwise)
+    p  = exp(q·kᵀ·scale − L)                 (recomputed per block)
+    dv = pᵀ·do          dp = do·vᵀ
+    ds = p ⊙ (dp − D)   dq = ds·k·scale      dk = dsᵀ·q·scale
+The dq kernel sweeps k-blocks per q-block; the dk/dv kernel sweeps q-blocks
+per k-block. All matmuls hit the MXU in fp32.
+
+Requirements: N % block == 0 (true for every feature level here: HW ∈
+{256, 1024, 4096, 16384}); head dims zero-padded to the 128-lane boundary
+outside the kernels. Use `cross_attention()` which dispatches
+Pallas-on-TPU / XLA elsewhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..attention import blockwise_cross_attention
+
+DEFAULT_BLOCK = 256
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale):
+    from jax.experimental import pallas as pl
+
+    k_idx = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+    m_scr[:] = m_new
+    l_scr[:] = l_new
+
+    @pl.when(k_idx == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:] + jnp.log(l_scr[:])
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, dq_ref, acc_scr, *, scale):
+    from jax.experimental import pallas as pl
+
+    k_idx = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0].astype(jnp.float32)
+    dsum = dsum_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - dsum)
+    acc_scr[:] = acc_scr[:] + jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+
+    @pl.when(k_idx == nk - 1)
+    def _finalize():
+        dq_ref[0] = acc_scr[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
+                dk_ref, dv_ref, dk_scr, dv_scr, *, scale):
+    from jax.experimental import pallas as pl
+
+    q_idx = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0].astype(jnp.float32)
+    dsum = dsum_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse)                                   # [bq, bk]
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                      # pᵀ·do [bk, dv]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                      # [bq, bk]
+    ds = p * (dp - dsum)
+    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                              # dsᵀ·q [bk, dk]
+
+    @pl.when(q_idx == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+# ---------------------------------------------------------------------------
+
+def _pad_lanes(x: jnp.ndarray, mult: int = 128) -> jnp.ndarray:
+    pad = (-x.shape[-1]) % mult
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def _flash_fwd(q, k, v, scale, block_q=DEFAULT_BLOCK, block_k=DEFAULT_BLOCK):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, _ = q.shape
+    m = k.shape[1]
+    dv = v.shape[-1]
+    assert n % block_q == 0 and m % block_k == 0, (n, m, block_q, block_k)
+    qp, kp = _pad_lanes(q), _pad_lanes(k)
+    dk = qp.shape[-1]
+
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, dv), v.dtype),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+        ),
+        grid=(b, n // block_q, m // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dk), lambda bi, i, kk: (bi, i, 0)),
+            pl.BlockSpec((1, block_k, dk), lambda bi, i, kk: (bi, kk, 0)),
+            pl.BlockSpec((1, block_k, dv), lambda bi, i, kk: (bi, kk, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, dv), lambda bi, i, kk: (bi, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bi, i, kk: (bi, i, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, dv), jnp.float32),
+        ],
+    )(qp, kp, v)
+    return out, lse
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def _flash_bwd(q, k, v, o, lse, do, scale, block_q=DEFAULT_BLOCK, block_k=DEFAULT_BLOCK):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, dk_orig = q.shape
+    m = k.shape[1]
+    dv = v.shape[-1]
+    qp, kp = _pad_lanes(q), _pad_lanes(k)
+    dk = qp.shape[-1]
+    dsum = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
+                   keepdims=True)  # [B, N, 1]
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, n, dk), jnp.float32),
+        grid=(b, n // block_q, m // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dk), lambda bi, i, kk: (bi, i, 0)),
+            pl.BlockSpec((1, block_k, dk), lambda bi, i, kk: (bi, kk, 0)),
+            pl.BlockSpec((1, block_k, dv), lambda bi, i, kk: (bi, kk, 0)),
+            pl.BlockSpec((1, block_q, dv), lambda bi, i, kk: (bi, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bi, i, kk: (bi, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bi, i, kk: (bi, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dk), lambda bi, i, kk: (bi, i, 0)),
+        scratch_shapes=[pltpu.VMEM((block_q, dk), jnp.float32)],
+    )(qp, kp, v, do, lse, dsum)
+
+    dk_out, dv_out = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, m, dk), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, dv), jnp.float32),
+        ),
+        grid=(b, m // block_k, n // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dk), lambda bi, kk, i: (bi, i, 0)),
+            pl.BlockSpec((1, block_k, dk), lambda bi, kk, i: (bi, kk, 0)),
+            pl.BlockSpec((1, block_k, dv), lambda bi, kk, i: (bi, kk, 0)),
+            pl.BlockSpec((1, block_q, dv), lambda bi, kk, i: (bi, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bi, kk, i: (bi, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bi, kk, i: (bi, i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, dk), lambda bi, kk, i: (bi, kk, 0)),
+            pl.BlockSpec((1, block_k, dv), lambda bi, kk, i: (bi, kk, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, dk), jnp.float32),
+            pltpu.VMEM((block_k, dv), jnp.float32),
+        ],
+    )(qp, kp, v, do, lse, dsum)
+
+    return (
+        dq[..., :dk_orig].astype(q.dtype),
+        dk_out[..., :dk_orig].astype(k.dtype),
+        dv_out.astype(v.dtype),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_cross_attention(q, k, v, scale):
+    out, _ = _flash_fwd(q, k, v, scale)
+    return out
+
+
+def _vjp_fwd(q, k, v, scale):
+    out, lse = _flash_fwd(q, k, v, scale)
+    return out, (q, k, v, out, lse)
+
+
+def _vjp_bwd(scale, residuals, g):
+    q, k, v, o, lse = residuals
+    return _flash_bwd(q, k, v, o, lse, g, scale)
+
+
+flash_cross_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def cross_attention(q, k, v, scale: float, block_q: int = DEFAULT_BLOCK):
+    """Dispatch: Pallas flash kernel on TPU when shapes tile; else XLA."""
+    n, m = q.shape[1], k.shape[1]
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and n % DEFAULT_BLOCK == 0 and m % DEFAULT_BLOCK == 0:
+        return flash_cross_attention(q, k, v, scale)
+    return blockwise_cross_attention(q, k, v, scale, block_q=block_q)

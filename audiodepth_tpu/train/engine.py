@@ -105,6 +105,82 @@ class Engine:
         return self._eval_step(state, self.put_batch(batch))
 
     # ------------------------------------------------------------------
+    def fit(
+        self,
+        state: TrainState,
+        train_batches: Callable[[], Iterable],
+        val_batches: Optional[Callable[[], Iterable]] = None,
+        epochs: Optional[int] = None,
+        start_epoch: int = 1,
+        ckpt_manager=None,
+        best_tracker=None,
+        logger=None,
+        holdout_batches: Optional[Dict[str, Callable[[], Iterable]]] = None,
+        vis_callback=None,
+    ) -> TrainState:
+        """Full training driver (the engine replacing the reference's seven
+        copy-pasted loops — SURVEY §1): epoch loop with per-epoch timing,
+        validation every validation_iter epochs (train.py:726), best-model
+        tracking (train.py:873-913), periodic checkpoints every
+        saving_checkpoints epochs (train.py:1005-1021), per-sequence holdout
+        evaluation (train.py:915-999), and a host visualization callback on
+        the first validation batch (train.py:861-871).
+
+        train_batches/val_batches are zero-arg callables returning a fresh
+        iterator (epoch reshuffles live in the callable).
+        """
+        import time as _time
+
+        cfg = self.cfg.mode
+        epochs = epochs or cfg.epochs
+        for epoch in range(start_epoch, epochs + 1):
+            t0 = _time.perf_counter()
+            n_samples = 0
+            last_metrics: Dict[str, Any] = {}
+            for batch in train_batches():
+                n_samples += int(next(iter(batch.values())).shape[0])
+                state, metrics = self.train_step(state, batch, epoch=float(epoch - 1))
+                last_metrics = metrics
+            jax.block_until_ready(last_metrics.get("loss"))
+            dt = _time.perf_counter() - t0
+            if logger:
+                chips = max(jax.device_count(), 1)
+                logger.log(
+                    {
+                        "train/loss": last_metrics.get("loss"),
+                        "train/grad_norm": last_metrics.get("grad_norm"),
+                        "train/epoch_time": dt,
+                        "train/pairs_per_sec_per_chip": n_samples / max(dt, 1e-9) / chips,
+                    },
+                    step=epoch,
+                )
+
+            if val_batches is not None and cfg.validation and epoch % cfg.validation_iter == 0:
+                val = self.evaluate(state, val_batches())
+                if logger and val:
+                    logger.log({f"val/{k}": v for k, v in val.items()}, step=epoch)
+                if vis_callback is not None:
+                    first = next(iter(val_batches()), None)
+                    if first is not None:
+                        pred = self.task.predict_meters(
+                            state.params, state.batch_stats, self.put_batch(first)
+                        )
+                        vis_callback(epoch, first, np.asarray(pred))
+                if best_tracker is not None and val and best_tracker.update(epoch, val):
+                    if ckpt_manager is not None:
+                        aux = getattr(self.task, "checkpoint_aux", lambda: None)()
+                        ckpt_manager.save(epoch, state, aux=aux, metrics=val)
+                for name, hb in (holdout_batches or {}).items():
+                    h = self.evaluate(state, hb())
+                    if logger and h:
+                        logger.log({f"holdout/{name}/{k}": v for k, v in h.items()}, step=epoch)
+
+            if ckpt_manager is not None and epoch % cfg.saving_checkpoints == 0:
+                aux = getattr(self.task, "checkpoint_aux", lambda: None)()
+                ckpt_manager.save(epoch, state, aux=aux)
+        return state
+
+    # ------------------------------------------------------------------
     def evaluate(self, state, batches: Iterable) -> Dict[str, float]:
         """Mean per-sample metrics over an eval split."""
         sums: Dict[str, float] = {}

@@ -52,8 +52,18 @@ class Task:
         return self._frontend(batch["waveform"])
 
     # -- depth-unit helpers ---------------------------------------------
+    # Model-output units: the UNet/cVAE families emit normalized depth when
+    # depth_norm (sigmoid / identity heads); the residual/attention/adabins
+    # families always emit meters (their heads bake in ×max_depth).
+    pred_is_normalized = False
+
     def to_meters(self, depth_like: jnp.ndarray) -> jnp.ndarray:
         return depth_like * self.max_depth if self.depth_norm else depth_like
+
+    def pred_to_meters(self, pred: jnp.ndarray) -> jnp.ndarray:
+        if self.pred_is_normalized and self.depth_norm:
+            return pred * self.max_depth
+        return pred
 
     # -- model plumbing --------------------------------------------------
     def init(self, rng: jax.Array, batch: Dict[str, jnp.ndarray]) -> Dict[str, Any]:
@@ -84,27 +94,26 @@ class Task:
         raise NotImplementedError
 
     # -- evaluation -------------------------------------------------------
+    def predict_raw(self, params, batch_stats, batch) -> jnp.ndarray:
+        """Final depth prediction in model units (one forward pass)."""
+        x = self.prepare(batch)
+        return self.apply_eval(params, batch_stats, x)
+
     def predict_meters(self, params, batch_stats, batch) -> jnp.ndarray:
-        """Depth prediction in meters, clipped to (eps, max_depth]."""
-        raise NotImplementedError
+        return self.pred_to_meters(self.predict_raw(params, batch_stats, batch))
 
     def eval_metrics(self, params, batch_stats, batch) -> Dict[str, jnp.ndarray]:
         """Per-sample metric arrays (train.py:782-844 validation semantics)."""
-        pred_m = self.predict_meters(params, batch_stats, batch)
-        gt_m = self.to_meters(batch["depth"])
-        eps = 1e-3  # metric scale: evaluation always happens in meters
-        pred_m = jnp.clip(pred_m, eps, self.max_depth)
-        out = compute_errors_batch(gt_m, pred_m, metric_scale=True)
+        pred = self.predict_raw(params, batch_stats, batch)
+        gt = batch["depth"]
+        pred_m = jnp.clip(self.pred_to_meters(pred), 1e-3, self.max_depth)
+        out = compute_errors_batch(self.to_meters(gt), pred_m, metric_scale=True)
         # eval loss: L1 on valid pixels in model units (test.py:240)
-        mask = batch["depth"] != 0
+        mask = gt != 0
         w = mask.astype(jnp.float32)
-        l1 = jnp.sum(jnp.abs(self.predict_raw(params, batch_stats, batch) - batch["depth"]) * w) / jnp.maximum(jnp.sum(w), 1.0)
+        l1 = jnp.sum(jnp.abs(pred - gt) * w) / jnp.maximum(jnp.sum(w), 1.0)
         out["loss"] = jnp.broadcast_to(l1, out["rmse"].shape)
         return out
-
-    def predict_raw(self, params, batch_stats, batch) -> jnp.ndarray:
-        x = self.prepare(batch)
-        return self.apply_eval(params, batch_stats, x)
 
 
 class UNetBaselineTask(Task):
@@ -116,6 +125,7 @@ class UNetBaselineTask(Task):
     """
 
     name = "unet_baseline"
+    pred_is_normalized = True
 
     def __init__(self, cfg: Config, input_nc: Optional[int] = None):
         super().__init__(cfg)
@@ -126,9 +136,6 @@ class UNetBaselineTask(Task):
         pred, new_stats = self.apply_train(params, batch_stats, x, rng)
         gt = batch["depth"]
         mask = gt != 0
-        loss = self.criterion(self.to_meters(pred), self.to_meters(gt), mask)
+        loss = self.criterion(self.pred_to_meters(pred), self.to_meters(gt), mask)
         aux = {"loss": loss}
         return loss, (new_stats, aux)
-
-    def predict_meters(self, params, batch_stats, batch):
-        return self.to_meters(self.predict_raw(params, batch_stats, batch))

@@ -1,0 +1,134 @@
+"""Coarse-depth family task (train_coarse_depth.py driver semantics).
+
+model_type dispatch: unet | lite | hybrid (CoarseWithOffset) | dual_reg
+(train_coarse_depth.py:279-313). Bin centers are injected into the forward
+(normalized by max_depth when depth_norm — :316-321); batches carry 'bins'
+(int targets from BinnedDepthDataset) in addition to 'depth'.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import Config
+from ..data.bins import compute_bin_edges
+from ..losses.coarse import (
+    coarse_depth_loss,
+    coarse_offset_loss,
+    dual_regression_loss,
+)
+from ..models.coarse_depth import (
+    CoarseDepthLite,
+    CoarseDepthUNet,
+    CoarseWithOffsetModel,
+    DualRegressionModel,
+)
+from .tasks import Task
+
+
+class CoarseDepthTask(Task):
+    name = "coarse_depth"
+
+    def __init__(self, cfg: Config):
+        super().__init__(cfg)
+        extra = cfg.model.extra
+        self.model_type = cfg.model.model_type
+        self.n_bins = int(cfg.model.n_bins)
+        self.bin_mode = str(cfg.model.bin_strategy)
+        self.ce_mode = str(extra.get("ce_mode", "soft_ce"))
+        dtype = jnp.bfloat16 if cfg.mode.compute_dtype == "bfloat16" else jnp.float32
+
+        edges, centers = compute_bin_edges(
+            self.n_bins,
+            depth_min=float(extra.get("depth_min", 0.1)),
+            depth_max=self.max_depth,
+            mode=self.bin_mode,
+            sid_alpha=float(extra.get("sid_alpha", 0.6)),
+        )
+        if self.depth_norm:
+            # bin centers live in the model's (normalized) output space
+            centers = centers / self.max_depth
+        self.bin_edges = edges
+        self.bin_centers = jnp.asarray(centers)
+
+        common = dict(
+            input_channels=cfg.model.input_nc,
+            base_channels=cfg.model.base_channels,
+            output_size=cfg.dataset.images_size,
+            dtype=dtype,
+        )
+        if self.model_type == "unet":
+            self.model = CoarseDepthUNet(n_bins=self.n_bins, **common)
+        elif self.model_type == "lite":
+            self.model = CoarseDepthLite(n_bins=self.n_bins, **common)
+        elif self.model_type == "hybrid":
+            self.model = CoarseWithOffsetModel(n_bins=self.n_bins, **common)
+        elif self.model_type == "dual_reg":
+            self.model = DualRegressionModel(**common)
+        else:
+            raise ValueError(f"unknown coarse model_type {self.model_type!r}")
+
+    # aux payload for checkpoints (train_coarse_depth.py:620-640 embeds bins)
+    def checkpoint_aux(self) -> Dict[str, Any]:
+        return {"bin_edges": np.asarray(self.bin_edges),
+                "bin_centers": np.asarray(self.bin_centers)}
+
+    def _apply(self, params, batch_stats, x, train, rng=None):
+        variables = {"params": params}
+        mutable = []
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"] if train else []
+        args = (x,) if self.model_type == "dual_reg" else (x, self.bin_centers)
+        if train:
+            out, mutated = self.model.apply(
+                variables, *args, train=True, mutable=mutable,
+                rngs={"dropout": rng} if rng is not None else None,
+            )
+            return out, (mutated.get("batch_stats") if mutable else None)
+        return self.model.apply(variables, *args, train=False), None
+
+    def init(self, rng, batch):
+        x = self.prepare(batch)
+        args = (x,) if self.model_type == "dual_reg" else (x, self.bin_centers)
+        return self.model.init({"params": rng, "dropout": rng}, *args, train=False)
+
+    def loss_fn(self, params, batch_stats, batch, rng, epoch):
+        x = self.prepare(batch)
+        out, new_stats = self._apply(params, batch_stats, x, train=True, rng=rng)
+        gt = batch["depth"]           # sparse target in model units
+        bins = batch["bins"]          # [B,H,W] int targets
+        mask = gt > 0
+
+        if self.model_type in ("unet", "lite"):
+            logits, depth = out
+            loss, parts = coarse_depth_loss(
+                logits, depth, bins, gt, mask, mode=self.ce_mode
+            )
+            aux = {"loss": loss, "ce": parts["ce"], "regression": parts["regression"]}
+        elif self.model_type == "hybrid":
+            logits, coarse, offset, final = out
+            loss, parts = coarse_offset_loss(logits, coarse, offset, final, gt, bins)
+            aux = {"loss": loss, "ce": parts["ce"], "regression": parts["regression"],
+                   "offset_reg": parts["offset_reg"], "coarse_l1": parts["coarse_l1"]}
+        else:  # dual_reg
+            coarse, offset, final = out
+            loss, parts = dual_regression_loss(coarse, offset, final, gt)
+            aux = {"loss": loss, "coarse": parts["coarse"], "final": parts["final"],
+                   "offset_reg": parts["offset_reg"]}
+        return loss, (new_stats, aux)
+
+    @property
+    def pred_is_normalized(self):
+        return self.depth_norm  # centers normalized when depth_norm
+
+    def predict_raw(self, params, batch_stats, batch):
+        x = self.prepare(batch)
+        out, _ = self._apply(params, batch_stats, x, train=False)
+        if self.model_type in ("unet", "lite"):
+            return out[1]
+        return out[-1]
