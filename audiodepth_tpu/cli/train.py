@@ -109,6 +109,20 @@ def main(argv=None):
     from ..parallel.mesh import make_mesh
     from ..train import Engine
 
+    # wandb-sweep integration (train.py:139-202): init early; sweep config
+    # values override matching CLI args before the config is built.
+    if args.use_wandb:
+        try:
+            import wandb
+
+            wandb.init(project="batvision-depth-estimation", allow_val_change=True)
+            for key, value in dict(wandb.config).items():
+                if hasattr(args, key) and value is not None:
+                    setattr(args, key, value)
+                    print(f"[sweep] override {key}={value}")
+        except Exception as e:
+            print(f"[train] wandb unavailable ({e}); continuing without")
+
     cfg = config_from_args(args)
     exp = experiment_name(cfg)
     print(f"experiment: {exp}")
@@ -185,6 +199,19 @@ def main(argv=None):
 
     logger = MetricLogger(args.log_dir, exp, use_wandb=args.use_wandb,
                           config=to_dict(cfg))
+    # architecture dump (train.py:576-597 architecture.txt equivalent)
+    try:
+        import os as _os
+
+        from ..models.layers import count_params
+
+        arch_path = _os.path.join(args.log_dir, f"{exp}_architecture.txt")
+        with open(arch_path, "w") as f:
+            f.write(f"experiment: {exp}\nconfig: {to_dict(cfg)}\n")
+            f.write(f"model: {type(task.model).__name__}\n")
+            f.write(f"params: {count_params(state.params):,}\n")
+    except Exception as e:
+        print(f"[train] architecture dump skipped: {e}")
     best = BestTracker(args.best_metric)
     state = eng.fit(
         state, train_batches, val_batches,

@@ -59,6 +59,7 @@ class ModeConfig:
     # engine
     compute_dtype: str = "bfloat16"         # bfloat16 | float32
     data_axis: str = "data"                 # mesh axis name for DP
+    debug_nans: bool = False                # jax.debug_nans (numeric sanitizer)
 
 
 @dataclass(frozen=True)

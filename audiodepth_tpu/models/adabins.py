@@ -128,10 +128,14 @@ class AdaBinsDistillationModel(nn.Module):
     base_channels: int = 64
     output_size: int = 256
     max_depth: float = 30.0
+    # twin networks double activation memory; remat keeps 16GB chips happy
+    # (SURVEY hard part 7: "consider remat for the teacher")
+    remat: bool = True
     dtype: Any = jnp.float32
 
     def _branch(self, name: str, in_ch: int, train: bool):
-        return AdaBinsBranch(
+        cls = nn.remat(AdaBinsBranch) if self.remat else AdaBinsBranch
+        return cls(
             input_channels=in_ch,
             base_channels=self.base_channels,
             n_bins=self.n_bins,

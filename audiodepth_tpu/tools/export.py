@@ -1,0 +1,98 @@
+"""Export the fused waveform→depth inference graph (jax.export).
+
+The deployment artifact of the framework: ONE serialized StableHLO program
+containing the entire audio→depth path — TOF cut, STFT/Mel front end, model
+forward, unit conversion and clipping — loadable without any of this
+package's Python (SURVEY §7 step 8 / BASELINE.json p50 target).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_inference_fn(cfg, task):
+    """waveform [B, 2, L] → depth meters [B, S, S, 1], clipped."""
+
+    def infer(params, batch_stats, waveform):
+        pred = task.predict_meters(params, batch_stats, {"waveform": waveform})
+        return jnp.clip(pred, 0.0, cfg.dataset.max_depth)
+
+    return infer
+
+
+def export_inference(cfg, task, variables, batch_size: int = 1,
+                     out_path: Optional[str] = None):
+    """Serialize the jitted inference graph; returns (exported, path)."""
+    from jax import export as jexport
+
+    from ..data.frontend import tof_cut_samples
+
+    length = tof_cut_samples(cfg.dataset.max_depth, cfg.dataset.sample_rate) + 256
+    wave_spec = jax.ShapeDtypeStruct((batch_size, 2, length), jnp.float32)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    infer = build_inference_fn(cfg, task)
+
+    exported = jexport.export(jax.jit(infer))(
+        jax.tree_util.tree_map(lambda p: jax.ShapeDtypeStruct(p.shape, p.dtype), params),
+        jax.tree_util.tree_map(lambda p: jax.ShapeDtypeStruct(p.shape, p.dtype), batch_stats)
+        if batch_stats is not None else None,
+        wave_spec,
+    )
+    blob = exported.serialize()
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "wb") as f:
+            f.write(blob)
+    return exported, out_path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Export fused inference graph")
+    p.add_argument("--dataset", default="batvisionv2")
+    p.add_argument("--model", default="unet_baseline")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--out", default="./export/inference.stablehlo")
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--experiment_name", default=None)
+    args = p.parse_args(argv)
+
+    from ..configs import load_config
+    from ..data.synthetic import SyntheticEchoDataset
+    from ..models import make_task
+
+    cfg = load_config(args.dataset, "test", "export", args.model)
+    task = make_task(cfg)
+    ds = SyntheticEchoDataset(cfg, num_samples=1)
+    batch = next(ds.batches(1, shuffle=False))
+    variables = task.init(jax.random.PRNGKey(0), batch)
+    if args.ckpt_dir and args.experiment_name:
+        from ..ckpt import CheckpointManager
+        from ..train.engine import TrainState
+
+        # load trained params into the export
+        mgr = CheckpointManager(args.ckpt_dir, args.experiment_name)
+        template = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats"),
+            opt_state=None,
+        )
+        # note: opt_state template None only works if saved as None; for
+        # robust loading use the train CLI's resume path instead
+        state, _, _ = mgr.restore(template)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    _, path = export_inference(cfg, task, variables, args.batch_size, args.out)
+    print(f"exported fused inference graph → {path}")
+
+
+if __name__ == "__main__":
+    main()

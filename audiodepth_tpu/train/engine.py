@@ -46,8 +46,18 @@ class Engine:
         self.task = task
         self.mesh = mesh
         self.tx = make_optimizer(cfg.mode, steps_per_epoch)
+        # compact-transport decode scale: depth is stored normalized ([0,1])
+        # when depth_norm, metric meters otherwise
+        self._depth_units = 1.0 if cfg.dataset.depth_norm else float(cfg.dataset.max_depth)
+        if cfg.mode.debug_nans:
+            # numeric sanitizer (the reference's closest analogue is its
+            # scattered NaN scrubbing — SURVEY §5); fails fast on NaN/Inf
+            jax.config.update("jax_debug_nans", True)
+
+        from ..data.codec import decode_batch
 
         def train_step(state: TrainState, batch, epoch):
+            batch = decode_batch(batch, self._depth_units)
             rng = jax.random.fold_in(jax.random.PRNGKey(cfg.mode.seed), state.step)
             grad_fn = jax.value_and_grad(task.loss_fn, has_aux=True)
             (loss, (new_stats, aux)), grads = grad_fn(
@@ -72,6 +82,7 @@ class Engine:
             )
 
         def eval_step(state: TrainState, batch):
+            batch = decode_batch(batch, self._depth_units)
             return task.eval_metrics(state.params, state.batch_stats, batch)
 
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
@@ -79,6 +90,10 @@ class Engine:
 
     # ------------------------------------------------------------------
     def init_state(self, rng: jax.Array, sample_batch) -> TrainState:
+        with self._mesh_ctx():
+            return self._init_state(rng, sample_batch)
+
+    def _init_state(self, rng: jax.Array, sample_batch) -> TrainState:
         variables = self.task.init(rng, sample_batch)
         params = variables["params"]
         batch_stats = variables.get("batch_stats")
@@ -93,16 +108,30 @@ class Engine:
         return state
 
     def put_batch(self, batch):
+        # already device-resident (e.g. from data.prefetch): pass through
+        if all(isinstance(v, jax.Array) for v in batch.values()):
+            return batch
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if self.mesh is not None:
             batch = shard_batch(batch, self.mesh, self.cfg.mode.data_axis)
         return batch
 
+    def _mesh_ctx(self):
+        # sharding constraints inside models (e.g. sequence-parallel
+        # attention) need a mesh context to resolve PartitionSpecs
+        import contextlib
+
+        if self.mesh is not None:
+            return jax.set_mesh(self.mesh)
+        return contextlib.nullcontext()
+
     def train_step(self, state, batch, epoch: float = 0.0):
-        return self._train_step(state, self.put_batch(batch), jnp.float32(epoch))
+        with self._mesh_ctx():
+            return self._train_step(state, self.put_batch(batch), jnp.float32(epoch))
 
     def eval_step(self, state, batch):
-        return self._eval_step(state, self.put_batch(batch))
+        with self._mesh_ctx():
+            return self._eval_step(state, self.put_batch(batch))
 
     # ------------------------------------------------------------------
     def fit(
@@ -137,7 +166,11 @@ class Engine:
             t0 = _time.perf_counter()
             n_samples = 0
             last_metrics: Dict[str, Any] = {}
-            for batch in train_batches():
+            from ..data.prefetch import device_prefetch
+
+            for batch in device_prefetch(train_batches(), self.mesh,
+                                         self.cfg.mode.data_axis,
+                                         encode_units=self._depth_units):
                 n_samples += int(next(iter(batch.values())).shape[0])
                 state, metrics = self.train_step(state, batch, epoch=float(epoch - 1))
                 last_metrics = metrics
@@ -159,13 +192,21 @@ class Engine:
                 val = self.evaluate(state, val_batches())
                 if logger and val:
                     logger.log({f"val/{k}": v for k, v in val.items()}, step=epoch)
-                if vis_callback is not None:
-                    first = next(iter(val_batches()), None)
-                    if first is not None:
-                        pred = self.task.predict_meters(
-                            state.params, state.batch_stats, self.put_batch(first)
-                        )
-                        vis_callback(epoch, first, np.asarray(pred))
+                # in-loop runtime diagnostics (train.py:676-708 analogues):
+                # negative/stuck-at-zero prediction detectors on the first
+                # validation batch
+                first = next(iter(val_batches()), None)
+                if first is not None and (vis_callback is not None or logger is not None):
+                    pred = np.asarray(self.task.predict_meters(
+                        state.params, state.batch_stats, self.put_batch(first)
+                    ))
+                    if (pred < 0).any():
+                        print(f"WARNING epoch {epoch}: negative depth predictions "
+                              f"(min={pred.min():.4f})")
+                    if np.abs(pred).max() < 1e-6:
+                        print(f"WARNING epoch {epoch}: predictions stuck at zero")
+                    if vis_callback is not None:
+                        vis_callback(epoch, first, pred)
                 if best_tracker is not None and val and best_tracker.update(epoch, val):
                     if ckpt_manager is not None:
                         aux = getattr(self.task, "checkpoint_aux", lambda: None)()

@@ -114,6 +114,7 @@ class BinauralAttentionTask(Task):
             max_depth=self.max_depth,
             attention_levels=tuple(cfg.model.attention_levels),
             output_size=cfg.dataset.images_size,
+            remat=bool(extra.get("remat", True)),
             dtype=_compute_dtype(cfg),
         )
 
