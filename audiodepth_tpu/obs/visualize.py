@@ -88,6 +88,49 @@ def save_batch_visualization(
     return path
 
 
+def save_distillation_panel(
+    gt: np.ndarray,
+    student_pred: np.ndarray,
+    teacher_pred: Optional[np.ndarray],
+    student_centers: np.ndarray,
+    teacher_centers: Optional[np.ndarray],
+    path: str,
+    max_depth: float = 30.0,
+) -> str:
+    """8-panel distillation view (train_adabins_distillation.py:41-132 twin):
+    GT / student / teacher / |err| maps + bin-center bar charts + depth
+    histograms for student vs teacher."""
+    fig, axes = plt.subplots(2, 4, figsize=(20, 9))
+    g, s = _chw(gt), _chw(student_pred)
+    t = _chw(teacher_pred) if teacher_pred is not None else None
+    panels = [(g, "GT", "viridis"), (s, "Student", "viridis")]
+    panels.append((t if t is not None else np.zeros_like(g), "Teacher", "viridis"))
+    panels.append((np.abs(g - s), "|GT − Student|", "hot"))
+    for ax, (img, name, cmap) in zip(axes[0], panels):
+        im = ax.imshow(img, cmap=cmap, vmin=0,
+                       vmax=max_depth if cmap == "viridis" else None)
+        ax.set_title(name)
+        ax.axis("off")
+        fig.colorbar(im, ax=ax, fraction=0.046)
+
+    axes[1][0].bar(np.arange(len(student_centers)), student_centers, color="steelblue")
+    axes[1][0].set_title("Student bin centers")
+    if teacher_centers is not None:
+        axes[1][1].bar(np.arange(len(teacher_centers)), teacher_centers, color="indianred")
+    axes[1][1].set_title("Teacher bin centers")
+    for ax, (img, name) in zip(
+        (axes[1][2], axes[1][3]),
+        ((s, "Student depth hist"), (g, "GT depth hist")),
+    ):
+        vals = img[img > 0].ravel() if (img > 0).any() else img.ravel()
+        ax.hist(vals, bins=50, color="gray")
+        ax.set_title(name)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=90, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def save_decomposition(
     panels: Dict[str, np.ndarray],
     path: str,

@@ -81,3 +81,15 @@ def test_visualizations(tmp_path):
     )
     for p in (p1, p2, p3):
         assert os.path.exists(p) and os.path.getsize(p) > 1000
+
+
+def test_distillation_panel(tmp_path):
+    from audiodepth_tpu.obs.visualize import save_distillation_panel
+
+    rng = np.random.default_rng(1)
+    gt = rng.uniform(0, 30, size=(64, 64, 1)).astype(np.float32)
+    pred = np.clip(gt + rng.normal(0, 1, gt.shape), 0, 30).astype(np.float32)
+    centers = np.sort(rng.uniform(0, 30, size=16)).astype(np.float32)
+    p = save_distillation_panel(gt, pred, pred, centers, centers,
+                                str(tmp_path / "dist.png"))
+    assert os.path.getsize(p) > 1000
