@@ -84,7 +84,7 @@ def main(argv=None):
     try:
         state, aux, epoch = mgr.restore(state, epoch=args.checkpoints)
     except FileNotFoundError:
-        avail = []
+        avail = sorted(mgr._mgr.all_steps() or [])
         raise SystemExit(
             f"checkpoint not found under {mgr.directory}; available epochs: {avail}"
         )

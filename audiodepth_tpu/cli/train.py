@@ -135,7 +135,10 @@ def main(argv=None):
         train_kwargs["with_image"] = with_image
         train_kwargs["num_samples"] = args.num_samples
     elif with_image and cfg.dataset.name == "batvisionv2":
-        train_kwargs["use_image"] = cfg.model.name == "rgb_depth"
+        # rgb teacher: images only; distillation: paired audio+image
+        train_kwargs["use_image"] = (
+            True if cfg.model.name == "rgb_depth" else "both"
+        )
 
     train_ds = make_dataset(cfg, "train", **train_kwargs)
     val_ds = make_dataset(

@@ -128,6 +128,9 @@ class BatvisionV2Dataset:
         return clone
 
     def sample(self, idx: int) -> Dict[str, np.ndarray]:
+        """use_image False → audio; True → camera image; 'both' → paired
+        audio+image (the distillation trainer's PairedDataset,
+        train_adabins_distillation.py:283-299)."""
         row = self.instances.iloc[idx]
         ds = self.cfg.dataset
         depth = _load_depth(
@@ -144,7 +147,7 @@ class BatvisionV2Dataset:
             img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
             img = cv2.resize(img, (ds.images_size, ds.images_size))
             out["image"] = img.astype(np.float32) / 255.0
-        else:
+        if not self.use_image or self.use_image == "both":
             wav, sr = load_wav(
                 os.path.join(self.root, row["audio path"], row["audio file name"])
             )

@@ -64,6 +64,16 @@ class Engine:
                 state.params, state.batch_stats, batch, rng, epoch
             )
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            # frozen subtrees (e.g. the AdaBins RGB teacher): zero their
+            # updates so neither momentum nor weight decay moves them
+            # (the reference builds its optimizer over requires_grad params
+            # only, train_adabins_distillation.py:369-387)
+            for frozen in getattr(task, "frozen_param_paths", ()):
+                if frozen in updates:
+                    updates = dict(updates)
+                    updates[frozen] = jax.tree_util.tree_map(
+                        jnp.zeros_like, updates[frozen]
+                    )
             new_params = jax.tree_util.tree_map(
                 lambda p, u: p + u, state.params, updates
             )

@@ -225,6 +225,7 @@ class AdaBinsDistillationTask(Task):
     """
 
     name = "adabins_distillation"
+    frozen_param_paths = ("rgb",)  # teacher: no grads, no decay, no momentum
 
     def __init__(self, cfg: Config):
         super().__init__(cfg)

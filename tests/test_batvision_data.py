@@ -146,3 +146,20 @@ def test_make_dataset_synthetic():
     cfg = load_config("synthetic", overrides={"dataset.images_size": 64})
     ds = make_dataset(cfg, "val")
     assert len(ds) == 64
+
+
+def test_bv2_paired_audio_and_image(bv2_root):
+    cfg = load_config("batvisionv2", overrides={
+        "dataset.dataset_dir": str(bv2_root), "dataset.images_size": 64,
+    })
+    # camera files don't exist in the fixture; create gray PNGs
+    import cv2
+    for loc in ("Hall", "Office"):
+        (bv2_root / loc / "cam").mkdir(exist_ok=True)
+        for i in range(3):
+            cv2.imwrite(str(bv2_root / loc / "cam" / f"c{i}.png"),
+                        np.full((48, 64, 3), 128, np.uint8))
+    ds = BatvisionV2Dataset(cfg, "train.csv", use_image="both")
+    s = ds.sample(0)
+    assert "waveform" in s and "image" in s and "depth" in s
+    assert s["image"].shape == (64, 64, 3)

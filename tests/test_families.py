@@ -167,3 +167,23 @@ def test_adabins_bins_valid():
     np.testing.assert_allclose(widths.sum(axis=1), 1.0, rtol=1e-5)
     assert (np.diff(centers, axis=1) > 0).all()
     assert centers.min() >= 0 and centers.max() <= 30.0
+
+
+def test_adabins_frozen_teacher_params_unchanged_with_weight_decay():
+    """Even with AdamW weight decay, the rgb teacher must not move."""
+    cfg, eng, state, batch, task = build(
+        "adabins_distillation", with_image=True, **{"mode.weight_decay": 0.01}
+    )
+    import copy
+    rgb_before = jax.tree_util.tree_map(np.asarray, state.params["rgb"])
+    state, _ = eng.train_step(state, batch, epoch=0.0)
+    rgb_after = jax.tree_util.tree_map(np.asarray, state.params["rgb"])
+    for a, b in zip(jax.tree_util.tree_leaves(rgb_before),
+                    jax.tree_util.tree_leaves(rgb_after)):
+        np.testing.assert_array_equal(a, b)
+    # audio student DID move
+    assert any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(state.params["audio"]),
+                        jax.tree_util.tree_leaves(rgb_before))
+    )
