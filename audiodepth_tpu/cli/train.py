@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bin_strategy", default=None, choices=[None, "linear", "log", "sid"])
     p.add_argument("--model_type", default=None,
                    choices=[None, "unet", "lite", "hybrid", "dual_reg"])
+    p.add_argument("--eval_img", action="store_true",
+                   help="train the baseline on camera images (3ch) instead of "
+                        "audio — BV2 only (train.py:322-387)")
     p.add_argument("--holdout_locations", nargs="*", default=None)
     p.add_argument("--checkpoints", type=int, default=None,
                    help="epoch to resume from (default: auto-latest)")
@@ -124,20 +127,27 @@ def main(argv=None):
             print(f"[train] wandb unavailable ({e}); continuing without")
 
     cfg = config_from_args(args)
-    exp = experiment_name(cfg)
+    if args.eval_img:
+        if cfg.dataset.name == "batvisionv1":
+            raise SystemExit("--eval_img is not supported on batvisionv1 "
+                             "(no camera images; train.py:322-323)")
+        from ..configs import apply_overrides
+
+        cfg = apply_overrides(cfg, {"model.input_nc": 3})
+    exp = experiment_name(cfg, suffix="IMG" if args.eval_img else "")
     print(f"experiment: {exp}")
 
     train_kwargs = {}
     if args.holdout_locations:
         train_kwargs["location_blacklist"] = args.holdout_locations
-    with_image = cfg.model.name in ("rgb_depth", "adabins_distillation")
+    with_image = args.eval_img or cfg.model.name in ("rgb_depth", "adabins_distillation")
     if cfg.dataset.name == "synthetic":
         train_kwargs["with_image"] = with_image
         train_kwargs["num_samples"] = args.num_samples
     elif with_image and cfg.dataset.name == "batvisionv2":
-        # rgb teacher: images only; distillation: paired audio+image
+        # rgb teacher / --eval_img: images only; distillation: paired
         train_kwargs["use_image"] = (
-            True if cfg.model.name == "rgb_depth" else "both"
+            True if (cfg.model.name == "rgb_depth" or args.eval_img) else "both"
         )
 
     train_ds = make_dataset(cfg, "train", **train_kwargs)

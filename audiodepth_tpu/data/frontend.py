@@ -16,6 +16,15 @@ Sample semantics preserved exactly:
     (BatvisionV1_Dataset.py:75-78 asymmetry), resize to images_size².
 
 Output layout is NHWC ([B, H, W, C]) — the TPU-native conv layout.
+
+Why there is no separate Pallas kernel here: the front end is three small
+MXU matmuls (frames × DFT basis, magnitude × mel filterbank) plus
+elementwise log/min-max, all inside the SAME jitted graph as the model —
+XLA fuses the elementwise chain into the matmuls, and the whole front end
+is <1% of the train step. The hot op that genuinely needed a hand kernel is
+the HW×HW cross-attention (ops/pallas/flash_attention.py). The ≥5×/chip
+front-end lever from SURVEY §7.6 comes from moving it on-device and fusing
+it into the step — which this module is.
 """
 
 from __future__ import annotations

@@ -49,6 +49,9 @@ class Task:
     def prepare(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         if "input" in batch:
             return batch["input"]
+        if self.cfg.model.input_nc == 3 and "image" in batch:
+            # --eval_img baseline: camera image instead of audio
+            return batch["image"]
         return self._frontend(batch["waveform"])
 
     # -- depth-unit helpers ---------------------------------------------

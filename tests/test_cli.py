@@ -56,3 +56,20 @@ def test_train_then_evaluate_synthetic(tmp_path):
     # jsonl log exists with val metrics
     log_file = next((tmp_path / "lg").glob("*.jsonl"))
     assert "val/rmse" in log_file.read_text()
+
+
+def test_eval_img_baseline(tmp_path):
+    train_main([
+        "--dataset", "synthetic", "--model", "unet_baseline", "--eval_img",
+        "--experiment_name", "imgsmoke",
+        "--generator", "unet_128", "--ngf", "4",
+        "--epochs", "1", "--batch_size", "2", "--num_samples", "4",
+        "--compute_dtype", "float32",
+        "--ckpt_dir", str(tmp_path / "ck"), "--log_dir", str(tmp_path / "lg"),
+    ])
+    assert any("IMG" in d for d in os.listdir(tmp_path / "ck"))
+
+
+def test_eval_img_rejected_on_bv1():
+    with pytest.raises(SystemExit):
+        train_main(["--dataset", "batvisionv1", "--eval_img"])
