@@ -31,7 +31,17 @@ import numpy as np
 
 from ..attention import blockwise_cross_attention
 
-DEFAULT_BLOCK = 256
+# Measured on v5e-1 at level-2 shapes (B=64, N=16384, dk=16, dv=128):
+# block 256 → 746 ms fwd+bwd, block 512 → 348 ms, block 1024 → 259 ms.
+# Grid-step overhead dominates small blocks; 1024² fp32 scores = 4 MB VMEM,
+# but wide values (dv=512) blow the 16 MB scoped-VMEM stack at 1024 —
+# hence the dv-aware cap.
+DEFAULT_BLOCK = 1024
+
+
+def _pick_block(n: int, dv: int = 128) -> int:
+    cap = DEFAULT_BLOCK if dv <= 256 else 512
+    return min(cap, n)
 
 
 # ---------------------------------------------------------------------------
@@ -50,9 +60,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, s
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # matmuls at native input precision (bf16 on the MXU in production)
+    # with fp32 accumulation; softmax statistics stay fp32
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -63,7 +75,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, s
     p = jnp.exp(s - m_new)
     alpha = jnp.exp(m_prev - m_new)
     l_new = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
-    acc_scr[:] = acc_scr[:] * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+    acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
     m_scr[:] = m_new
     l_scr[:] = l_new
 
@@ -87,10 +101,10 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, dq_ref, acc_scr, 
     def _init():
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0].astype(jnp.float32)
     dsum = dsum_ref[0].astype(jnp.float32)
 
@@ -102,7 +116,9 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, dq_ref, acc_scr, 
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     ds = p * (dp - dsum)
-    acc_scr[:] = acc_scr[:] + jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    acc_scr[:] = acc_scr[:] + jnp.dot(
+        ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+    ) * scale
 
     @pl.when(k_idx == nk - 1)
     def _finalize():
@@ -121,10 +137,10 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0].astype(jnp.float32)
     dsum = dsum_ref[0].astype(jnp.float32)
 
@@ -133,14 +149,16 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
     ) * scale
     p = jnp.exp(s - lse)                                   # [bq, bk]
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )                                                      # pᵀ·do [bk, dv]
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )                                                      # [bq, bk]
     ds = p * (dp - dsum)
     dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ) * scale                                              # dsᵀ·q [bk, dk]
 
     @pl.when(q_idx == nq - 1)
@@ -260,18 +278,24 @@ def _flash_bwd(q, k, v, o, lse, do, scale, block_q=DEFAULT_BLOCK, block_k=DEFAUL
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_cross_attention(q, k, v, scale):
-    out, _ = _flash_fwd(q, k, v, scale)
+    dv = v.shape[-1]
+    bq, bk = _pick_block(q.shape[1], dv), _pick_block(k.shape[1], dv)
+    out, _ = _flash_fwd(q, k, v, scale, bq, bk)
     return out
 
 
 def _vjp_fwd(q, k, v, scale):
-    out, lse = _flash_fwd(q, k, v, scale)
+    dv = v.shape[-1]
+    bq, bk = _pick_block(q.shape[1], dv), _pick_block(k.shape[1], dv)
+    out, lse = _flash_fwd(q, k, v, scale, bq, bk)
     return out, (q, k, v, out, lse)
 
 
 def _vjp_bwd(scale, residuals, g):
     q, k, v, o, lse = residuals
-    return _flash_bwd(q, k, v, o, lse, g, scale)
+    dv = v.shape[-1]
+    bq, bk = _pick_block(q.shape[1], dv), _pick_block(k.shape[1], dv)
+    return _flash_bwd(q, k, v, o, lse, g, scale, bq, bk)
 
 
 flash_cross_attention.defvjp(_vjp_fwd, _vjp_bwd)
@@ -281,6 +305,7 @@ def cross_attention(q, k, v, scale: float, block_q: int = DEFAULT_BLOCK):
     """Dispatch: Pallas flash kernel on TPU when shapes tile; else XLA."""
     n, m = q.shape[1], k.shape[1]
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and n % DEFAULT_BLOCK == 0 and m % DEFAULT_BLOCK == 0:
+    dv = v.shape[-1]
+    if on_tpu and n % _pick_block(n, dv) == 0 and m % _pick_block(m, dv) == 0:
         return flash_cross_attention(q, k, v, scale)
     return blockwise_cross_attention(q, k, v, scale, block_q=block_q)
