@@ -155,8 +155,46 @@ class BatvisionV2Dataset:
         return out
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
-                drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+                drop_last: bool = True, native: bool = True
+                ) -> Iterator[Dict[str, np.ndarray]]:
+        """Batch iterator. With native=True (and the toolchain available,
+        audio mode only) decoding runs in the C++ thread pool
+        (native/adepth_io.cpp) and batches come out directly in the compact
+        transport dtypes (int16 waveform / uint16 depth)."""
+        if native and not self.use_image:
+            from . import native_io
+
+            if native_io.available():
+                yield from self._native_batches(batch_size, shuffle, seed, drop_last)
+                return
         yield from _batch_iter(self, batch_size, shuffle, seed, drop_last)
+
+    def _native_batches(self, batch_size, shuffle, seed, drop_last):
+        from . import native_io
+
+        ds = self.cfg.dataset
+        n = len(self.instances)
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        end = n - batch_size + 1 if drop_last else n
+        for i in range(0, max(end, 0), batch_size):
+            idx = order[i : i + batch_size]
+            rows = self.instances.iloc[idx]
+            wavs = [
+                os.path.join(self.root, r["audio path"], r["audio file name"])
+                for _, r in rows.iterrows()
+            ]
+            depths = [
+                os.path.join(self.root, r["depth path"], r["depth file name"])
+                for _, r in rows.iterrows()
+            ]
+            wav, depth = native_io.assemble_batch(
+                wavs, depths, fixed_len=self.wave_len,
+                out_hw=(ds.images_size, ds.images_size),
+                max_depth=ds.max_depth, depth_norm=bool(ds.depth_norm),
+            )
+            yield {"waveform": wav, "depth": depth}
 
 
 class BatvisionV1Dataset:

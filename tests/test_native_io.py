@@ -1,0 +1,121 @@
+"""Native IO runtime: golden parity against the Python loaders."""
+
+import numpy as np
+import pytest
+
+from audiodepth_tpu.data import native_io
+from audiodepth_tpu.data.batvision import load_wav, _load_depth
+from audiodepth_tpu.data.codec import encode_batch
+from audiodepth_tpu.ops.resize import resize_nearest_cv2_np
+from tests.test_batvision_data import write_wav
+
+pytestmark = pytest.mark.skipif(
+    not native_io.available(), reason="native toolchain unavailable"
+)
+
+
+def test_wav_decode_matches_python(tmp_path):
+    rng = np.random.default_rng(0)
+    data = rng.uniform(-0.8, 0.8, size=(2, 5000)).astype(np.float32)
+    write_wav(tmp_path / "x.wav", data)
+    # python path: float decode, then transport encode
+    py_f, sr = load_wav(str(tmp_path / "x.wav"))
+    py_i16 = encode_batch({"waveform": py_f[None]}, 30.0)["waveform"][0]
+    # native path: direct int16, cut/pad to 6000
+    nat = native_io.decode_wav_i16(str(tmp_path / "x.wav"), 6000)
+    np.testing.assert_array_equal(nat[:, :5000], py_i16)
+    assert (nat[:, 5000:] == 0).all()
+
+
+def test_wav_decode_cuts(tmp_path):
+    rng = np.random.default_rng(1)
+    data = rng.uniform(-0.5, 0.5, size=(2, 5000)).astype(np.float32)
+    write_wav(tmp_path / "x.wav", data)
+    nat = native_io.decode_wav_i16(str(tmp_path / "x.wav"), 3000)
+    assert nat.shape == (2, 3000)
+
+
+@pytest.mark.parametrize("depth_norm", [False, True])
+@pytest.mark.parametrize("dtype", [np.float32, np.float64, np.uint16])
+def test_depth_load_matches_python(tmp_path, depth_norm, dtype):
+    rng = np.random.default_rng(2)
+    depth_mm = rng.uniform(-100, 40000, size=(48, 64))
+    if dtype == np.uint16:
+        depth_mm = np.clip(depth_mm, 0, 65535)
+    else:
+        depth_mm[0, 0] = np.nan
+        depth_mm[0, 1] = np.inf
+    depth_mm = depth_mm.astype(dtype)
+    np.save(tmp_path / "d.npy", depth_mm)
+
+    # python twin: load → scrub → mm→m → clip → nearest resize → (norm) → encode
+    py = _load_depth(str(tmp_path / "d.npy"), 32, 30.0, scrub_nan=True)
+    if depth_norm:
+        py = py / 30.0
+    units = 1.0 if depth_norm else 30.0
+    py_u16 = encode_batch({"depth": py[None, ..., None]}, units)["depth"][0, ..., 0]
+
+    nat = native_io.load_depth_u16(str(tmp_path / "d.npy"), (32, 32), 30.0, depth_norm)
+    np.testing.assert_array_equal(nat, py_u16)
+
+
+def test_assemble_batch(tmp_path):
+    rng = np.random.default_rng(3)
+    wavs, depths = [], []
+    for i in range(4):
+        w = rng.uniform(-0.5, 0.5, size=(2, 4000)).astype(np.float32)
+        write_wav(tmp_path / f"w{i}.wav", w)
+        np.save(tmp_path / f"d{i}.npy",
+                rng.uniform(0, 35000, size=(48, 64)).astype(np.float32))
+        wavs.append(str(tmp_path / f"w{i}.wav"))
+        depths.append(str(tmp_path / f"d{i}.npy"))
+    wav_out, depth_out = native_io.assemble_batch(
+        wavs, depths, fixed_len=4096, out_hw=(32, 32), max_depth=30.0,
+        depth_norm=False, n_threads=4,
+    )
+    assert wav_out.shape == (4, 2, 4096) and wav_out.dtype == np.int16
+    assert depth_out.shape == (4, 32, 32, 1) and depth_out.dtype == np.uint16
+    # spot-check one item against the single-file APIs
+    one_w = native_io.decode_wav_i16(wavs[1], 4096)
+    np.testing.assert_array_equal(wav_out[1], one_w)
+    one_d = native_io.load_depth_u16(depths[2], (32, 32), 30.0, False)
+    np.testing.assert_array_equal(depth_out[2, ..., 0], one_d)
+
+
+def test_missing_file_raises():
+    with pytest.raises(IOError):
+        native_io.decode_wav_i16("/nonexistent.wav", 100)
+    with pytest.raises(IOError):
+        native_io.load_depth_u16("/nonexistent.npy", (8, 8), 30.0, False)
+
+
+def test_bv2_native_batches_match_python(tmp_path):
+    """BV2 dataset with native decoding == python path after transport encode."""
+    from audiodepth_tpu.configs import load_config
+    from audiodepth_tpu.data.batvision import BatvisionV2Dataset
+
+    rng = np.random.default_rng(4)
+    d = tmp_path / "Hall"
+    (d / "audio").mkdir(parents=True)
+    (d / "depth").mkdir()
+    rows = []
+    for i in range(4):
+        np.save(d / "depth" / f"d{i}.npy",
+                rng.uniform(0, 40000, size=(48, 64)).astype(np.float32))
+        write_wav(d / "audio" / f"a{i}.wav",
+                  rng.uniform(-0.5, 0.5, size=(2, 9000)).astype(np.float32))
+        rows.append(f"Hall/audio,a{i}.wav,Hall/depth,d{i}.npy")
+    (d / "train.csv").write_text(
+        "audio path,audio file name,depth path,depth file name\n"
+        + "\n".join(rows) + "\n")
+
+    cfg = load_config("batvisionv2", overrides={
+        "dataset.dataset_dir": str(tmp_path), "dataset.images_size": 64,
+    })
+    ds = BatvisionV2Dataset(cfg, "train.csv")
+    nat = next(ds.batches(4, shuffle=False, native=True))
+    py = next(ds.batches(4, shuffle=False, native=False))
+    assert nat["waveform"].dtype == np.int16 and nat["depth"].dtype == np.uint16
+    py_enc = encode_batch(py, 30.0)
+    np.testing.assert_array_equal(nat["waveform"], py_enc["waveform"])
+    np.testing.assert_array_equal(nat["depth"], py_enc["depth"])
