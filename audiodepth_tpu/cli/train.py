@@ -183,7 +183,10 @@ def main(argv=None):
                                      seed=epoch_seed[0]))
 
     def val_batches():
-        return wrap(val_ds.batches(cfg.mode.batch_size, shuffle=False))
+        # keep the ragged tail: with val splits smaller than the train batch
+        # size, drop_last would silently evaluate nothing
+        return wrap(val_ds.batches(cfg.mode.batch_size, shuffle=False,
+                                   drop_last=False))
 
     holdout = None
     if args.holdout_locations and hasattr(train_ds, "filter_by_audio_path"):

@@ -59,8 +59,13 @@ def add_bins_to_batch(batch: dict, edges: np.ndarray, max_depth: float,
 
     Bin edges are always metric (BinnedDepthDataset uses depth_min=0.1m to
     cfg.max_depth), so normalized depth is denormalized before bucketizing.
+    Handles compact-transport depth (uint16 fixed point, data/codec.py) by
+    decoding to units first.
     """
     depth = batch["depth"][..., 0]
+    if depth.dtype == np.uint16:
+        units = 1.0 if depth_norm else max_depth
+        depth = depth.astype(np.float32) * (units / 65535.0)
     if depth_norm:
         depth = depth * max_depth
     out = dict(batch)

@@ -125,3 +125,15 @@ def test_coarse_checkpoint_aux_contains_bins():
     aux = task.checkpoint_aux()
     assert aux["bin_edges"].shape == (9,)
     assert aux["bin_centers"].shape == (8,)
+
+
+def test_add_bins_handles_compact_uint16():
+    from audiodepth_tpu.data.codec import encode_batch
+
+    rng = np.random.default_rng(9)
+    depth = rng.uniform(0, 30, size=(2, 8, 8, 1)).astype(np.float32)
+    edges, _ = compute_bin_edges(16, 0.1, 30.0, "linear")
+    raw = add_bins_to_batch({"depth": depth}, edges, 30.0, False)
+    compact = encode_batch({"depth": depth}, 30.0)
+    enc = add_bins_to_batch(compact, edges, 30.0, False)
+    np.testing.assert_array_equal(raw["bins"], enc["bins"])
