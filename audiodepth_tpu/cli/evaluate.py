@@ -76,7 +76,7 @@ def main(argv=None):
     task = make_task(cfg)
     ds = make_dataset(cfg, args.eval_on)
     eng = Engine(cfg, task)
-    sample = next(ds.batches(bs, shuffle=False))
+    sample = next(ds.batches(bs, shuffle=False, drop_last=False))
     state = eng.init_state(jax.random.PRNGKey(0), sample)
 
     exp = experiment_name(cfg) if args.experiment_name == "default" else args.experiment_name
@@ -90,27 +90,32 @@ def main(argv=None):
         )
     print(f"evaluating {exp} @ epoch {epoch} on {args.eval_on}")
 
+    from ..data.codec import decode_batch
+
+    units = 1.0 if cfg.dataset.depth_norm else float(cfg.dataset.max_depth)
     per_sample = {k: [] for k in METRIC_NAMES + ("loss",)}
     gts, preds = [], []
     for i, batch in enumerate(ds.batches(bs, shuffle=False, drop_last=False)):
         out = eng.eval_step(state, batch)
         for k in per_sample:
             per_sample[k].append(np.asarray(out[k]))
-        if args.visualize and i == 0:
+        need_pred = args.save_tensors or (args.visualize and i == 0)
+        if need_pred:
+            dev = decode_batch(eng.put_batch(batch), units)
             pred = np.asarray(task.predict_meters(
-                state.params, state.batch_stats, eng.put_batch(batch)))
-            gt_m = np.asarray(batch["depth"])
+                state.params, state.batch_stats, dev))
+            gt_m = np.asarray(dev["depth"])
             if cfg.dataset.depth_norm:
                 gt_m = gt_m * cfg.dataset.max_depth
+        if args.visualize and i == 0:
             os.makedirs(args.results_dir, exist_ok=True)
             save_batch_visualization(
                 gt_m, pred, os.path.join(args.results_dir, f"{exp}_eval.png"),
                 max_depth=cfg.dataset.max_depth,
             )
         if args.save_tensors:
-            gts.append(np.asarray(batch["depth"]))
-            preds.append(np.asarray(task.predict_meters(
-                state.params, state.batch_stats, eng.put_batch(batch))))
+            gts.append(gt_m)
+            preds.append(pred)
 
     per_sample = {k: np.concatenate(v) for k, v in per_sample.items()}
     means = {k: float(v.mean()) for k, v in per_sample.items()}

@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_dir", default="./logs")
     p.add_argument("--best_metric", default="rmse",
                    choices=["rmse", "abs_rel", "delta1", "mae", "loss"])
+    p.add_argument("--results_dir", default="./results",
+                   help="per-validation visualization PNGs (train.py:861-871)")
+    p.add_argument("--no_visualize", action="store_true")
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--compute_dtype", default=None, choices=[None, "bfloat16", "float32"])
@@ -213,6 +216,28 @@ def main(argv=None):
         except FileNotFoundError:
             print("no checkpoint found; training from scratch")
 
+    vis_callback = None
+    if not args.no_visualize:
+        import os as _os
+
+        import numpy as _np
+
+        from ..obs import save_batch_visualization
+
+        vis_dir = _os.path.join(args.results_dir, exp)
+
+        def vis_callback(epoch, first_batch, pred_m):
+            units = 1.0 if cfg.dataset.depth_norm else cfg.dataset.max_depth
+            gt = _np.asarray(first_batch["depth"])
+            if gt.dtype == _np.uint16:  # compact transport form
+                gt = gt.astype(_np.float32) * (units / 65535.0)
+            if cfg.dataset.depth_norm:
+                gt = gt * cfg.dataset.max_depth
+            save_batch_visualization(
+                gt, pred_m, _os.path.join(vis_dir, f"val_epoch{epoch}.png"),
+                max_depth=cfg.dataset.max_depth,
+            )
+
     logger = MetricLogger(args.log_dir, exp, use_wandb=args.use_wandb,
                           config=to_dict(cfg))
     # architecture dump (train.py:576-597 architecture.txt equivalent)
@@ -233,7 +258,7 @@ def main(argv=None):
         state, train_batches, val_batches,
         start_epoch=start_epoch,
         ckpt_manager=mgr, best_tracker=best, logger=logger,
-        holdout_batches=holdout,
+        holdout_batches=holdout, vis_callback=vis_callback,
     )
     mgr.wait()
     logger.close()

@@ -207,8 +207,11 @@ class Engine:
                 # validation batch
                 first = next(iter(val_batches()), None)
                 if first is not None and (vis_callback is not None or logger is not None):
+                    from ..data.codec import decode_batch as _decode
+
+                    first_dev = _decode(self.put_batch(first), self._depth_units)
                     pred = np.asarray(self.task.predict_meters(
-                        state.params, state.batch_stats, self.put_batch(first)
+                        state.params, state.batch_stats, first_dev
                     ))
                     if (pred < 0).any():
                         print(f"WARNING epoch {epoch}: negative depth predictions "
