@@ -77,3 +77,31 @@ def test_engine_trains_on_compact_batches():
     compact = next(device_prefetch(iter([raw]), encode_units=30.0))
     _, m_c = eng.train_step(state, compact)
     np.testing.assert_allclose(float(m_raw["loss"]), float(m_c["loss"]), rtol=1e-3)
+
+
+def test_device_cache_batches_match_host_path():
+    from audiodepth_tpu.data.device_cache import DeviceDatasetCache
+
+    cfg = load_config("batvisionv2", overrides={
+        "model.generator": "unet_128", "model.ngf": 4,
+        "dataset.images_size": 128, "mode.batch_size": 2,
+        "mode.compute_dtype": "float32",
+    })
+    ds = SyntheticEchoDataset(cfg, num_samples=4)
+    cache = DeviceDatasetCache(ds, max_depth_units=30.0)
+    assert cache.n == 4 and cache.nbytes() > 0
+
+    dev_batches = list(cache.batches(2, shuffle=False))
+    host_batches = list(ds.batches(2, shuffle=False))
+    assert len(dev_batches) == 2
+    for db, hb in zip(dev_batches, host_batches):
+        enc = encode_batch(hb, 30.0)
+        np.testing.assert_array_equal(np.asarray(db["waveform"]), enc["waveform"])
+        np.testing.assert_array_equal(np.asarray(db["depth"]), enc["depth"])
+
+    # engine trains on cached batches (decode happens in the jitted step)
+    task = make_task(cfg)
+    eng = Engine(cfg, task)
+    state = eng.init_state(jax.random.PRNGKey(0), host_batches[0])
+    state, m = eng.train_step(state, dev_batches[0])
+    assert np.isfinite(float(m["loss"]))
