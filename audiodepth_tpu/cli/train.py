@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default=None, choices=[None, "bfloat16", "float32"])
     p.add_argument("--num_samples", type=int, default=256,
                    help="synthetic dataset size")
+    p.add_argument("--device_cache", action="store_true",
+                   help="upload the whole split to HBM once and gather "
+                        "batches on-device (fastest for BatVision-scale "
+                        "corpora; see data/device_cache.py)")
     return p
 
 
@@ -173,23 +177,56 @@ def main(argv=None):
 
     def wrap(it):
         for b in it:
-            if needs_bins:
+            if needs_bins and "bins" not in b:
                 b = add_bins_to_batch(b, task.bin_edges, cfg.dataset.max_depth,
                                       cfg.dataset.depth_norm)
             yield b
+
+    if args.device_cache:
+        from ..data.device_cache import DeviceDatasetCache
+
+        cache_train, cache_val = train_ds, val_ds
+        if needs_bins:
+            # precompute int bin targets into the cache (host bucketize once)
+            from ..data.bins import depth_to_bins_np
+
+            class _BinnedView:
+                def __init__(self, ds):
+                    self._ds = ds
+
+                def __len__(self):
+                    return len(self._ds)
+
+                def sample(self, i):
+                    s = self._ds.sample(i)
+                    d = s["depth"][..., 0]
+                    if cfg.dataset.depth_norm:
+                        d = d * cfg.dataset.max_depth
+                    s["bins"] = depth_to_bins_np(d, task.bin_edges)
+                    return s
+
+            cache_train, cache_val = _BinnedView(train_ds), _BinnedView(val_ds)
+
+        units = 1.0 if cfg.dataset.depth_norm else float(cfg.dataset.max_depth)
+        train_src = DeviceDatasetCache(cache_train, max_depth_units=units)
+        val_src = DeviceDatasetCache(cache_val, max_depth_units=units)
+        print(f"device cache: {train_src.nbytes() / 1e6:.0f} MB train, "
+              f"{val_src.nbytes() / 1e6:.0f} MB val in HBM")
+    else:
+        train_src, val_src = train_ds, val_ds
 
     epoch_seed = [0]
 
     def train_batches():
         epoch_seed[0] += 1
-        return wrap(train_ds.batches(cfg.mode.batch_size, shuffle=cfg.mode.shuffle,
-                                     seed=epoch_seed[0]))
+        return wrap(train_src.batches(cfg.mode.batch_size, shuffle=cfg.mode.shuffle,
+                                      seed=epoch_seed[0]))
 
     def val_batches():
         # keep the ragged tail: with val splits smaller than the train batch
         # size, drop_last would silently evaluate nothing
-        return wrap(val_ds.batches(cfg.mode.batch_size, shuffle=False,
-                                   drop_last=False))
+        return wrap(val_src.batches(cfg.mode.batch_size, shuffle=False,
+                                    drop_last=False))
 
     holdout = None
     if args.holdout_locations and hasattr(train_ds, "filter_by_audio_path"):

@@ -36,6 +36,9 @@ def encode_batch(batch: Dict[str, np.ndarray], max_depth_units: float) -> Dict[s
         if key in out and out[key].dtype == np.float32:
             d = np.clip(out[key], 0.0, max_depth_units)
             out[key] = np.round(d * scale).astype(np.uint16)
+    if "image" in out and out["image"].dtype == np.float32:
+        # images came from uint8 sources (/255 in the loaders): lossless
+        out["image"] = np.round(np.clip(out["image"], 0, 1) * 255.0).astype(np.uint8)
     return out
 
 
@@ -48,6 +51,8 @@ def decode_batch(batch: Dict[str, jnp.ndarray], max_depth_units: float) -> Dict[
     for key in _DEPTH_KEYS:
         if key in out and out[key].dtype == jnp.uint16:
             out[key] = out[key].astype(jnp.float32) * inv
+    if "image" in out and out["image"].dtype == jnp.uint8:
+        out["image"] = out["image"].astype(jnp.float32) / 255.0
     return out
 
 

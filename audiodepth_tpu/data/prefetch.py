@@ -38,6 +38,8 @@ def device_prefetch(
         from .codec import encode_batch
 
     def put(batch):
+        if all(isinstance(v, jax.Array) for v in batch.values()):
+            return batch  # already device-resident (e.g. DeviceDatasetCache)
         if encode_units is not None:
             batch = encode_batch(batch, encode_units)
         return {k: jax.device_put(v, sharding) for k, v in batch.items()}

@@ -73,3 +73,16 @@ def test_eval_img_baseline(tmp_path):
 def test_eval_img_rejected_on_bv1():
     with pytest.raises(SystemExit):
         train_main(["--dataset", "batvisionv1", "--eval_img"])
+
+
+def test_device_cache_training(tmp_path):
+    train_main([
+        "--dataset", "synthetic", "--model", "coarse_depth",
+        "--model_type", "lite", "--n_bins", "8", "--base_channels", "8",
+        "--experiment_name", "cachesmoke", "--device_cache",
+        "--epochs", "2", "--batch_size", "4", "--num_samples", "8",
+        "--compute_dtype", "float32", "--no_visualize",
+        "--ckpt_dir", str(tmp_path / "ck"), "--log_dir", str(tmp_path / "lg"),
+    ])
+    log_file = next((tmp_path / "lg").glob("*.jsonl"))
+    assert "val/rmse" in log_file.read_text()
