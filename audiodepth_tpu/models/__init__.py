@@ -29,6 +29,14 @@ def make_task(cfg, **kwargs):
         registry.update(tasks_extra.REGISTRY)
     except ImportError:
         pass
+    if name == "spline_depth":
+        # dead config in the reference: conf/model/spline_depth.yaml exists
+        # but no model code does (SURVEY §2.1) — registered for parity,
+        # intentionally unimplemented
+        raise NotImplementedError(
+            "spline_depth is aspirational/dead config in the reference "
+            "(no model code); pick one of: " + ", ".join(sorted(registry))
+        )
     if name not in registry:
         raise NotImplementedError(f"model family {name!r} not registered")
     return registry[name](cfg, **kwargs)

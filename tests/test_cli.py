@@ -86,3 +86,20 @@ def test_device_cache_training(tmp_path):
     ])
     log_file = next((tmp_path / "lg").glob("*.jsonl"))
     assert "val/rmse" in log_file.read_text()
+
+
+def test_resume_training(tmp_path, capsys):
+    common = [
+        "--dataset", "synthetic", "--model", "unet_baseline",
+        "--experiment_name", "resumesmoke",
+        "--generator", "unet_128", "--ngf", "4",
+        "--batch_size", "4", "--num_samples", "8",
+        "--compute_dtype", "float32", "--no_visualize",
+        "--ckpt_dir", str(tmp_path / "ck"), "--log_dir", str(tmp_path / "lg"),
+    ]
+    # epochs=2 saves the best checkpoint at the epoch-2 validation
+    train_main(common + ["--epochs", "2"])
+    capsys.readouterr()
+    train_main(common + ["--epochs", "4", "--resume"])
+    out = capsys.readouterr().out
+    assert "resumed from epoch" in out
