@@ -19,10 +19,8 @@ Reference driver features carried over:
 from __future__ import annotations
 
 import argparse
-import sys
 
 import jax
-import numpy as np
 
 
 def build_parser() -> argparse.ArgumentParser:

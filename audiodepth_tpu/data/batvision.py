@@ -28,8 +28,7 @@ jitted step never retraces.
 from __future__ import annotations
 
 import os
-import wave
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, Optional, Sequence
 
 import numpy as np
 

@@ -29,8 +29,7 @@ it into the step — which this module is.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ graph serves any binning scheme; checkpoints carry them as aux payloads.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ Initializers mirror the reference families:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

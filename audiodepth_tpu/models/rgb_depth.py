@@ -9,7 +9,7 @@ Head is a 1×1 conv with clamp [0, max_depth] (no sigmoid).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvDown, ConvUp, make_norm, normal_init
+from .layers import ConvDown, ConvUp, make_norm
 
 
 class UNetGenerator(nn.Module):

@@ -14,9 +14,6 @@ structure (and its memory bound) is already right.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

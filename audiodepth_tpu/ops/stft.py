@@ -19,7 +19,6 @@ dataloader/BatvisionV2_Dataset.py:177-197 and BatvisionV1_Dataset.py:86-95):
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax

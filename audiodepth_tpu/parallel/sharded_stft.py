@@ -13,13 +13,10 @@ the caller-visible output is [..., n_freq, 1 + L // hop].
 
 from __future__ import annotations
 
-import functools
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.stft import stft_basis
 

@@ -12,9 +12,7 @@ engine parameterized by a Task. TPU-first properties:
 
 from __future__ import annotations
 
-import functools
-import time
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Any, Callable, Dict, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +20,7 @@ import numpy as np
 from flax import struct
 
 from ..configs import Config
-from ..parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
+from ..parallel.mesh import replicate, shard_batch
 from .optim import make_optimizer
 from .tasks import Task
 

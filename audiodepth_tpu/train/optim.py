@@ -10,8 +10,6 @@ trainer (train.py:689 etc.), AdamW weight_decay=0.01 in the binaural script
 
 from __future__ import annotations
 
-from typing import Optional
-
 import optax
 
 from ..configs import ModeConfig

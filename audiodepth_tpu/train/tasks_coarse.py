@@ -8,9 +8,8 @@ model_type dispatch: unet | lite | hybrid (CoarseWithOffset) | dual_reg
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -8,8 +8,6 @@ loss weights are functions of epoch/progress (SURVEY §2.5, §3.3-3.4).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -22,7 +22,6 @@ import json
 import time
 
 import jax
-import numpy as np
 
 from audiodepth_tpu.configs import load_config
 from audiodepth_tpu.data.synthetic import SyntheticEchoDataset
