@@ -57,21 +57,22 @@ class BinauralCrossAttention(nn.Module):
         rt = right.reshape(b, h * w, c)
         scale = 1.0 / (c ** 0.5)  # reference scales by sqrt(C_full)
 
-        def attend(src, tgt):
-            # src attends to tgt: queries from src, keys/values from tgt.
-            # Pallas flash kernel on TPU, XLA blockwise elsewhere.
-            q = q_proj(src)
-            if self.sp_axis is not None:
-                from jax.sharding import PartitionSpec as P
+        # Both directions share Q/K/V/out projections, so L→R and R→L stack
+        # along batch into ONE attention call — half the kernel launches
+        # with identical math.
+        both = jnp.concatenate([lt, rt], axis=0)        # queries: [2B, N, C]
+        swapped = jnp.concatenate([rt, lt], axis=0)     # keys/values
+        q = q_proj(both)
+        if self.sp_axis is not None:
+            from jax.sharding import PartitionSpec as P
 
-                q = jax.lax.with_sharding_constraint(q, P(None, self.sp_axis, None))
-            att = cross_attention(
-                q, k_proj(tgt), v_proj(tgt), scale, block_q=self.block_q
-            )
-            return out_proj(att)
-
-        left_out = lt + gamma * attend(lt, rt)
-        right_out = rt + gamma * attend(rt, lt)
+            q = jax.lax.with_sharding_constraint(q, P(None, self.sp_axis, None))
+        att = cross_attention(
+            q, k_proj(swapped), v_proj(swapped), scale, block_q=self.block_q
+        )
+        out = out_proj(att)
+        left_out = lt + gamma * out[:b]
+        right_out = rt + gamma * out[b:]
         return (
             left_out.reshape(b, h, w, c).astype(left.dtype),
             right_out.reshape(b, h, w, c).astype(right.dtype),

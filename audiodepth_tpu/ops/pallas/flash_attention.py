@@ -39,7 +39,9 @@ DEFAULT_BLOCK = 1024
 
 
 def _pick_block(n: int, dv: int = 128) -> int:
-    cap = DEFAULT_BLOCK if dv <= 256 else 512
+    # dv=256 @ block 1024 sits exactly at the 16 MB scoped-VMEM edge
+    # (16.13 MB with double buffering) — cap at 512 from dv=256 up
+    cap = DEFAULT_BLOCK if dv < 256 else 512
     return min(cap, n)
 
 
