@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bin_strategy", default=None, choices=[None, "linear", "log", "sid"])
     p.add_argument("--model_type", default=None,
                    choices=[None, "unet", "lite", "hybrid", "dual_reg"])
+    p.add_argument("--attention_levels", default=None,
+                   help="comma-separated encoder levels for cross-attention, "
+                        "e.g. 2,3,4,5 (binaural family)")
     p.add_argument("--eval_img", action="store_true",
                    help="train the baseline on camera images (3ch) instead of "
                         "audio — BV2 only (train.py:322-387)")
@@ -90,6 +93,7 @@ def config_from_args(args):
         "model.n_bins": args.n_bins,
         "model.bin_strategy": args.bin_strategy,
         "model.model_type": args.model_type,
+        "model.attention_levels": args.attention_levels,
         "dataset.dataset_dir": args.dataset_dir,
         "mode.l1_weight": args.l1_weight,
         "mode.silog_weight": args.silog_weight,

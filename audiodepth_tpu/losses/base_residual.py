@@ -55,6 +55,52 @@ def adaptive_weights(epoch: jnp.ndarray, warmup_epochs: int = 50,
     return lam_recon, lam_base
 
 
+def separate_frequencies(depth: jnp.ndarray, freq_cutoff: float = 0.1):
+    """FFT low/high-pass split of NHWC depth maps.
+
+    Twin of FrequencyAwareBaseResidualLoss.separate_frequencies
+    (utils_base_residual_loss.py:266-301): centered 2-D FFT, a square
+    low-pass mask of half-width cutoff·dim, inverse transforms' real parts.
+    """
+    h, w = depth.shape[1], depth.shape[2]
+    x = jnp.fft.fftshift(jnp.fft.fft2(depth.astype(jnp.float32), axes=(1, 2)),
+                         axes=(1, 2))
+    ch, cw = h // 2, w // 2
+    cut_h, cut_w = int(h * freq_cutoff), int(w * freq_cutoff)
+    ys = jnp.arange(h)[None, :, None, None]
+    xs = jnp.arange(w)[None, None, :, None]
+    # slice semantics [c-cut, c+cut) as in the reference's mask assignment
+    mask = ((ys >= ch - cut_h) & (ys < ch + cut_h)
+            & (xs >= cw - cut_w) & (xs < cw + cut_w))
+    low = jnp.fft.ifft2(jnp.fft.ifftshift(x * mask, axes=(1, 2)), axes=(1, 2)).real
+    high = jnp.fft.ifft2(jnp.fft.ifftshift(x * (~mask), axes=(1, 2)), axes=(1, 2)).real
+    return low, high
+
+
+def frequency_aware_base_residual_loss(
+    base, residual, final, gt,
+    lambda_recon: float = 1.0,
+    lambda_base_low: float = 0.5,
+    lambda_res_high: float = 0.3,
+    lambda_sparse: float = 0.1,
+    freq_cutoff: float = 0.1,
+):
+    """Experimental frequency-domain variant
+    (utils_base_residual_loss.py:241-345, unmasked path): base matches the
+    GT's low frequencies, residual its high frequencies."""
+    loss_recon = l1_loss(final, gt)
+    gt_low, gt_high = separate_frequencies(gt, freq_cutoff)
+    loss_base_low = l1_loss(base, jax.lax.stop_gradient(gt_low))
+    loss_res_high = l1_loss(residual, jax.lax.stop_gradient(gt_high))
+    loss_sparse = jnp.mean(jnp.abs(residual))
+    total = (lambda_recon * loss_recon + lambda_base_low * loss_base_low
+             + lambda_res_high * loss_res_high + lambda_sparse * loss_sparse)
+    return total, {
+        "recon": loss_recon, "base_low": loss_base_low,
+        "res_high": loss_res_high, "sparse": loss_sparse, "total": total,
+    }
+
+
 def base_residual_loss(
     base: jnp.ndarray,
     residual: jnp.ndarray,

@@ -12,7 +12,11 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import Config
-from ..losses.base_residual import adaptive_weights, base_residual_loss
+from ..losses.base_residual import (
+    adaptive_weights,
+    base_residual_loss,
+    frequency_aware_base_residual_loss,
+)
 from ..losses.binaural import (
     adaptive_binaural_weights,
     binaural_attention_loss,
@@ -68,6 +72,14 @@ class BaseResidualTask(Task):
         gt = self.to_meters(batch["depth"])
         mask = gt > 0
         final = self._final(base, residual, epoch)
+        if self.recon == "frequency_aware":
+            loss, parts = frequency_aware_base_residual_loss(
+                base, residual, final, gt
+            )
+            aux = {"loss": loss, "recon": parts["recon"],
+                   "base_low": parts["base_low"], "res_high": parts["res_high"],
+                   "sparse": parts["sparse"]}
+            return loss, (new_stats, aux)
         if self.use_adaptive:
             lam_recon, lam_base = adaptive_weights(epoch, self.warmup_epochs)
         else:

@@ -187,3 +187,51 @@ def test_adabins_frozen_teacher_params_unchanged_with_weight_decay():
         for a, b in zip(jax.tree_util.tree_leaves(state.params["audio"]),
                         jax.tree_util.tree_leaves(rgb_before))
     )
+
+
+def test_frequency_aware_base_residual_loss():
+    """Low+high split reconstructs the signal; loss matches torch FFT twin."""
+    import torch
+    from audiodepth_tpu.losses.base_residual import (
+        frequency_aware_base_residual_loss, separate_frequencies,
+    )
+
+    rng = np.random.default_rng(11)
+    gt = rng.uniform(0, 30, size=(2, 32, 32, 1)).astype(np.float32)
+    low, high = separate_frequencies(jnp.asarray(gt))
+    np.testing.assert_allclose(np.asarray(low) + np.asarray(high), gt,
+                               rtol=1e-4, atol=1e-3)
+
+    # torch twin of the split (reference formula)
+    t = torch.as_tensor(gt).permute(0, 3, 1, 2)
+    fft = torch.fft.fftshift(torch.fft.fft2(t))
+    H = W = 32
+    cut = int(32 * 0.1)
+    mask = torch.zeros_like(fft, dtype=torch.bool)
+    mask[..., 16 - cut:16 + cut, 16 - cut:16 + cut] = True
+    t_low = torch.fft.ifft2(torch.fft.ifftshift(fft * mask)).real
+    np.testing.assert_allclose(
+        np.asarray(low)[..., 0], t_low[:, 0].numpy(), rtol=1e-3, atol=1e-3)
+
+    base = jnp.asarray(rng.uniform(0, 30, size=gt.shape).astype(np.float32))
+    res = jnp.asarray(rng.normal(0, 1, size=gt.shape).astype(np.float32))
+    total, parts = frequency_aware_base_residual_loss(base, res, base + res,
+                                                      jnp.asarray(gt))
+    assert np.isfinite(float(total))
+    assert {"recon", "base_low", "res_high", "sparse"} <= set(parts)
+
+
+def test_base_residual_frequency_aware_task():
+    import dataclasses
+    from audiodepth_tpu.train.tasks_extra import BaseResidualTask
+
+    cfg, eng, state, batch, task = build("base_residual")
+    cfg2 = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, extra={"recon": "frequency_aware"})
+    )
+    task2 = BaseResidualTask(cfg2)
+    eng2 = Engine(cfg2, task2)
+    state2 = eng2.init_state(jax.random.PRNGKey(0), batch)
+    state2, m = eng2.train_step(state2, batch, epoch=0.0)
+    assert {"base_low", "res_high"} <= set(m)
+    assert np.isfinite(float(m["loss"]))
