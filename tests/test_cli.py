@@ -103,3 +103,35 @@ def test_resume_training(tmp_path, capsys):
     train_main(common + ["--epochs", "4", "--resume"])
     out = capsys.readouterr().out
     assert "resumed from epoch" in out
+
+
+def test_holdout_training_bv2(tmp_path):
+    """End-to-end holdout: locations excluded from train, evaluated separately."""
+    from tests.test_batvision_data import write_wav
+
+    rng = np.random.default_rng(5)
+    for loc in ("Hall", "Office"):
+        d = tmp_path / "data" / loc
+        (d / "audio").mkdir(parents=True)
+        (d / "depth").mkdir()
+        rows = []
+        for i in range(4):
+            np.save(d / "depth" / f"d{i}.npy",
+                    rng.uniform(0, 40000, size=(32, 32)).astype(np.float32))
+            write_wav(d / "audio" / f"a{i}.wav",
+                      rng.normal(0, 0.1, size=(2, 8500)).astype(np.float32))
+            rows.append(f"{loc}/audio,a{i}.wav,{loc}/depth,d{i}.npy")
+        header = "audio path,audio file name,depth path,depth file name\n"
+        (d / "train.csv").write_text(header + "\n".join(rows) + "\n")
+        (d / "val.csv").write_text(header + "\n".join(rows[:2]) + "\n")
+
+    train_main([
+        "--dataset", "batvisionv2", "--dataset_dir", str(tmp_path / "data"),
+        "--model", "unet_baseline", "--experiment_name", "holdsmoke",
+        "--generator", "unet_128", "--ngf", "4",
+        "--epochs", "2", "--batch_size", "2", "--compute_dtype", "float32",
+        "--holdout_locations", "Office", "--no_visualize",
+        "--ckpt_dir", str(tmp_path / "ck"), "--log_dir", str(tmp_path / "lg"),
+    ])
+    log = next((tmp_path / "lg").glob("*.jsonl")).read_text()
+    assert "holdout/Office/rmse" in log
