@@ -60,3 +60,15 @@ def test_yaml_dir_override(tmp_path):
     (d / "batvisionv2.yaml").write_text("max_depth: 15.0\ncustom_key: 3\n")
     cfg = load_config("batvisionv2", conf_dir=str(tmp_path))
     assert cfg.dataset.max_depth == 15.0
+
+
+def test_repo_conf_tree_loads():
+    """The in-repo conf/ YAML tree (reference conf/ mirror) composes."""
+    import os
+
+    conf = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "conf")
+    cfg = load_config("batvisionv1", "test", "e", "unet_baseline", conf_dir=conf)
+    assert cfg.dataset.max_depth == 12.0
+    assert cfg.mode.batch_size == 1
+    cfg2 = load_config("batvisionv2", "train", "e", "binaural_attention", conf_dir=conf)
+    assert cfg2.model.attention_levels == (2, 3, 4, 5)
