@@ -44,6 +44,10 @@ class Engine:
         self.task = task
         self.mesh = mesh
         self.tx = make_optimizer(cfg.mode, steps_per_epoch)
+        from .optim import make_schedule
+
+        self._lr_schedule = make_schedule(cfg.mode, steps_per_epoch)
+        self._steps_per_epoch = steps_per_epoch
         # compact-transport decode scale: depth is stored normalized ([0,1])
         # when depth_norm, metric meters otherwise
         self._depth_units = 1.0 if cfg.dataset.depth_norm else float(cfg.dataset.max_depth)
@@ -190,6 +194,7 @@ class Engine:
                     {
                         "train/loss": last_metrics.get("loss"),
                         "train/grad_norm": last_metrics.get("grad_norm"),
+                        "train/lr": float(self._lr_schedule(epoch * self._steps_per_epoch)),
                         "train/epoch_time": dt,
                         "train/pairs_per_sec_per_chip": n_samples / max(dt, 1e-9) / chips,
                     },
