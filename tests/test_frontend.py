@@ -145,3 +145,18 @@ def test_frontend_waveform_passthrough():
     wave = np.zeros((1, 2, 9000), np.float32)
     out = np.asarray(fe(wave))
     assert out.shape == (1, 2, 7782)
+
+
+def test_fused_pallas_frontend_matches_xla(monkeypatch):
+    """Pallas fused mel frontend (interpret mode on CPU) == XLA composition."""
+    import jax.numpy as jnp
+
+    from audiodepth_tpu.ops.pallas.fused_frontend import fused_mel_frontend
+    from audiodepth_tpu.ops.stft import mel_spectrogram
+
+    rng = np.random.default_rng(8)
+    wave = rng.normal(size=(2, 2, 4000)).astype(np.float32)
+    ref = log_minmax_per_channel(mel_spectrogram(jnp.asarray(wave)))
+    got = fused_mel_frontend(jnp.asarray(wave), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
