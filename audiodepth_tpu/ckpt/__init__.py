@@ -54,9 +54,37 @@ class CheckpointManager:
     def latest_epoch(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, state_template: TrainState, epoch: Optional[int] = None,
+    # -- 'best' alias ---------------------------------------------------
+    # The reference keys best_model.pth next to the numbered checkpoints
+    # (train.py:897-909); here the best epoch is recorded in best.json so
+    # any tool can resolve it without knowing the metric history.
+    def mark_best(self, epoch: int, metric: Optional[str] = None,
+                  value: Optional[float] = None) -> None:
+        import json
+
+        with open(os.path.join(self.directory, "best.json"), "w") as f:
+            json.dump({"epoch": int(epoch), "metric": metric,
+                       "value": None if value is None else float(value)}, f)
+
+    def best_epoch(self) -> Optional[int]:
+        import json
+
+        path = os.path.join(self.directory, "best.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return int(json.load(f)["epoch"])
+
+    def restore(self, state_template: TrainState, epoch=None,
                 aux_template: Optional[Dict[str, Any]] = None):
-        """Restore (state, aux, epoch) at `epoch` (default: latest)."""
+        """Restore (state, aux, epoch) at `epoch` (default latest; 'best'
+        resolves via best.json)."""
+        if epoch == "best":
+            epoch = self.best_epoch()
+            if epoch is None:
+                raise FileNotFoundError(
+                    f"no best.json under {self.directory} (no validation ran?)"
+                )
         if epoch is None:
             epoch = self._mgr.latest_step()
         if epoch is None:

@@ -31,6 +31,16 @@ def main(argv=None):
     p.add_argument("--dataset_dir", default=None)
     p.add_argument("--eval_on", default="test", choices=["test", "val"])
     p.add_argument("--checkpoints", type=int, default=None, help="epoch (default latest)")
+    p.add_argument("--checkpoint_path", default=None,
+                   help="direct path to {ckpt_dir}/{experiment}[/{epoch}]; the "
+                        "experiment name (and epoch, if present) are "
+                        "auto-extracted (test.py:30-62)")
+    p.add_argument("--use_best", action="store_true",
+                   help="evaluate the best-validation checkpoint (best.json "
+                        "written during training) instead of the latest")
+    p.add_argument("--eval_img", action="store_true",
+                   help="the checkpoint was trained on camera images "
+                        "(--eval_img baseline): evaluate with image inputs")
     p.add_argument("--ckpt_dir", default="./checkpoints")
     p.add_argument("--stat_dir", default="./eval/")
     p.add_argument("--batch_size", type=int, default=None)
@@ -68,21 +78,51 @@ def main(argv=None):
     }.items():
         if val is not None:
             overrides[key] = val
+    if args.eval_img:
+        overrides["model.input_nc"] = 3
     cfg = load_config(args.dataset, "test", args.experiment_name, args.model,
                       overrides=overrides)
     # eval batching: test.yaml default is 1; larger is fine on TPU
     bs = args.batch_size or 16
 
     task = make_task(cfg)
-    ds = make_dataset(cfg, args.eval_on)
+    # image-input families need image batches: rgb_depth and --eval_img
+    # baselines evaluate on camera images; adabins validates student-only
+    # on audio (train_adabins_distillation.py:481-522), so no image needed
+    with_image = args.eval_img or cfg.model.name == "rgb_depth"
+    ds_kwargs = {}
+    if cfg.dataset.name == "synthetic":
+        ds_kwargs["with_image"] = with_image
+    elif with_image:
+        if cfg.dataset.name == "batvisionv1":
+            raise SystemExit("image-input evaluation is not supported on "
+                             "batvisionv1 (no camera images)")
+        ds_kwargs["use_image"] = True
+    ds = make_dataset(cfg, args.eval_on, **ds_kwargs)
     eng = Engine(cfg, task)
     sample = next(ds.batches(bs, shuffle=False, drop_last=False))
     state = eng.init_state(jax.random.PRNGKey(0), sample)
 
-    exp = experiment_name(cfg) if args.experiment_name == "default" else args.experiment_name
+    # checkpoint resolution (test.py:30-62): --checkpoint_path beats
+    # experiment-name assembly; a trailing integer component is the epoch
+    epoch_req = args.checkpoints
+    if args.checkpoint_path:
+        path = os.path.abspath(args.checkpoint_path).rstrip("/")
+        base = os.path.basename(path)
+        if base.isdigit():
+            epoch_req = int(base)
+            path = os.path.dirname(path)
+        args.ckpt_dir = os.path.dirname(path)
+        exp = os.path.basename(path)
+        print(f"extracted experiment name from path: {exp}")
+    else:
+        exp = (experiment_name(cfg) if args.experiment_name == "default"
+               else args.experiment_name)
+    if args.use_best and epoch_req is None:
+        epoch_req = "best"
     mgr = CheckpointManager(args.ckpt_dir, exp)
     try:
-        state, aux, epoch = mgr.restore(state, epoch=args.checkpoints)
+        state, aux, epoch = mgr.restore(state, epoch=epoch_req)
     except FileNotFoundError:
         avail = sorted(mgr._mgr.all_steps() or [])
         raise SystemExit(

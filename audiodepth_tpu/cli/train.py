@@ -50,6 +50,33 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attention_levels", default=None,
                    help="comma-separated encoder levels for cross-attention, "
                         "e.g. 2,3,4,5 (binaural family)")
+    # family knobs the reference drivers expose as flags
+    # (train_base_residual.py:132-135, train_cvae.py:131-143,
+    #  train_adabins_distillation.py, train_binaural_attention.py)
+    p.add_argument("--warmup_epochs", type=int, default=None,
+                   help="adaptive-loss warmup (base_residual)")
+    p.add_argument("--use_adaptive_loss", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="adaptive loss schedule (base_residual/adabins); "
+                        "--no-use_adaptive_loss disables")
+    p.add_argument("--loss_type", default=None,
+                   choices=[None, "standard", "edge_aware", "adaptive"],
+                   help="binaural-attention loss family")
+    p.add_argument("--kl_weight", type=float, default=None, help="cVAE KL weight")
+    p.add_argument("--latent_dim", type=int, default=None, help="cVAE latent dim")
+    p.add_argument("--temperature", type=float, default=None,
+                   help="distillation KL temperature")
+    p.add_argument("--recon", default=None,
+                   choices=[None, "silog", "l1", "l2", "frequency_aware"],
+                   help="base_residual reconstruction term")
+    # sparse-depth coarse workflow (train_coarse_depth.py:133-645):
+    # train against preprocessed sparse_depth_{method}/ targets
+    p.add_argument("--sparse_method", default=None,
+                   help="train on sparse_depth_{method}/ targets produced by "
+                        "tools/preprocess_sparse_depth (e.g. downup_015)")
+    p.add_argument("--use_original_depth", action="store_true",
+                   help="also load the dense original depth alongside the "
+                        "sparse target (SparseDepth_Dataset.py:136-145)")
     p.add_argument("--eval_img", action="store_true",
                    help="train the baseline on camera images (3ch) instead of "
                         "audio — BV2 only (train.py:322-387)")
@@ -98,6 +125,8 @@ def config_from_args(args):
         "mode.l1_weight": args.l1_weight,
         "mode.silog_weight": args.silog_weight,
         "mode.silog_lambda": args.silog_lambda,
+        "model.kl_weight": args.kl_weight,
+        "model.latent_dim": args.latent_dim,
     }
     overrides.update({k: v for k, v in direct.items() if v is not None})
     # smart criterion: any explicit loss weight implies Combined
@@ -106,8 +135,24 @@ def config_from_args(args):
         overrides["mode.criterion"] = args.criterion
     elif any(v is not None for v in (args.l1_weight, args.silog_weight, args.silog_lambda)):
         overrides["mode.criterion"] = "Combined"
-    return load_config(args.dataset, "train", args.experiment_name, args.model,
-                       overrides=overrides)
+    cfg = load_config(args.dataset, "train", args.experiment_name, args.model,
+                      overrides=overrides)
+    # family knobs living in model.extra (merged, not replaced, so YAML conf
+    # values survive alongside CLI overrides)
+    extra_updates = {k: v for k, v in {
+        "warmup_epochs": args.warmup_epochs,
+        "use_adaptive_loss": args.use_adaptive_loss,
+        "loss_type": args.loss_type,
+        "temperature": args.temperature,
+        "recon": args.recon,
+    }.items() if v is not None}
+    if extra_updates:
+        from ..configs import apply_overrides
+
+        merged = dict(cfg.model.extra)
+        merged.update(extra_updates)
+        cfg = apply_overrides(cfg, {"model.extra": merged})
+    return cfg
 
 
 def main(argv=None):
@@ -143,27 +188,72 @@ def main(argv=None):
         from ..configs import apply_overrides
 
         cfg = apply_overrides(cfg, {"model.input_nc": 3})
-    exp = experiment_name(cfg, suffix="IMG" if args.eval_img else "")
+    # experiment-name suffixes mirror the reference assembly
+    # (train.py:288-313): [_IMG][_holdout_{locs}]
+    suffixes = []
+    if args.eval_img:
+        suffixes.append("IMG")
+    if args.holdout_locations:
+        suffixes.append("holdout_" + "_".join(args.holdout_locations))
+    exp = experiment_name(cfg, suffix="_".join(suffixes))
     print(f"experiment: {exp}")
 
-    train_kwargs = {}
-    if args.holdout_locations:
-        train_kwargs["location_blacklist"] = args.holdout_locations
+    needs_bins = cfg.model.name == "coarse_depth"
     with_image = args.eval_img or cfg.model.name in ("rgb_depth", "adabins_distillation")
-    if cfg.dataset.name == "synthetic":
-        train_kwargs["with_image"] = with_image
-        train_kwargs["num_samples"] = args.num_samples
-    elif with_image and cfg.dataset.name == "batvisionv2":
-        # rgb teacher / --eval_img: images only; distillation: paired
-        train_kwargs["use_image"] = (
-            True if (cfg.model.name == "rgb_depth" or args.eval_img) else "both"
-        )
 
-    train_ds = make_dataset(cfg, "train", **train_kwargs)
-    val_ds = make_dataset(
-        cfg, "val",
-        **({"with_image": with_image} if cfg.dataset.name == "synthetic" else {}),
-    )
+    if args.sparse_method:
+        # the coarse family's defining data path: preprocessed
+        # sparse_depth_{method}/ targets (train_coarse_depth.py:133-645)
+        if cfg.dataset.name != "batvisionv2":
+            raise SystemExit(
+                "--sparse_method requires the batvisionv2 corpus layout "
+                "(per-location sparse_depth_{method}/ folders from "
+                "tools/preprocess_sparse_depth)"
+            )
+        from ..data.sparse_depth import BinnedSparseDepthDataset, SparseDepthDataset
+
+        sp_kwargs = dict(
+            sparse_depth_method=args.sparse_method,
+            use_original_depth=args.use_original_depth,
+        )
+        if args.holdout_locations:
+            sp_kwargs["location_blacklist"] = args.holdout_locations
+        if needs_bins:
+            # bin parameters identical to CoarseDepthTask's so the dataset's
+            # precomputed 'bins' targets match the model's bin centers
+            extra = cfg.model.extra
+            sp_kwargs.update(
+                n_bins=cfg.model.n_bins, bin_mode=cfg.model.bin_strategy,
+                depth_min=float(extra.get("depth_min", 0.1)),
+                sid_alpha=float(extra.get("sid_alpha", 0.6)),
+            )
+            ds_cls = BinnedSparseDepthDataset
+        else:
+            ds_cls = SparseDepthDataset
+        train_ds = ds_cls(cfg, cfg.dataset.annotation_file_train, **sp_kwargs)
+        val_ds = ds_cls(cfg, cfg.dataset.annotation_file_val, **sp_kwargs)
+    else:
+        train_kwargs = {}
+        if cfg.dataset.name == "synthetic":
+            train_kwargs["with_image"] = with_image
+            train_kwargs["num_samples"] = args.num_samples
+        elif args.holdout_locations:
+            train_kwargs["location_blacklist"] = args.holdout_locations
+        if with_image and cfg.dataset.name == "batvisionv2":
+            # rgb teacher / --eval_img: images only; distillation: paired
+            train_kwargs["use_image"] = (
+                True if (cfg.model.name == "rgb_depth" or args.eval_img) else "both"
+            )
+
+        # held-out locations are blacklisted from train AND val
+        # (train.py:326,330) so val metrics / best-model selection never see
+        # the holdout sequences
+        val_kwargs = dict(train_kwargs)
+        val_kwargs.pop("num_samples", None)
+
+        train_ds = make_dataset(cfg, "train", **train_kwargs)
+        val_ds = make_dataset(cfg, "val", **val_kwargs)
+    print(f"train: {len(train_ds)} samples, val: {len(val_ds)} samples")
 
     task = make_task(cfg)
     # data-parallel mesh: batch must divide evenly; use the largest device
@@ -174,8 +264,6 @@ def main(argv=None):
     mesh = make_mesh(n_dev) if n_dev > 1 else None
     steps_per_epoch = max(len(train_ds) // cfg.mode.batch_size, 1)
     eng = Engine(cfg, task, mesh=mesh, steps_per_epoch=steps_per_epoch)
-
-    needs_bins = cfg.model.name == "coarse_depth"
 
     def wrap(it):
         for b in it:
@@ -235,9 +323,12 @@ def main(argv=None):
         from ..data.batvision import make_dataset as _mk
 
         full = _mk(cfg, "train")
+        # drop_last=False: a holdout location with fewer samples than the
+        # batch size must still evaluate (train.py:915-999)
         holdout = {
             loc: (lambda l=loc: wrap(
-                full.filter_by_audio_path(l).batches(cfg.mode.batch_size, shuffle=False)
+                full.filter_by_audio_path(l).batches(
+                    cfg.mode.batch_size, shuffle=False, drop_last=False)
             ))
             for loc in args.holdout_locations
         }

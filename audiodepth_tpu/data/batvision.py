@@ -225,6 +225,17 @@ class BatvisionV1Dataset:
     def __len__(self):
         return len(self.instances)
 
+    def filter_by_audio_path(self, substring: str) -> "BatvisionV1Dataset":
+        """Holdout loader: keep rows whose left-audio path contains substring
+        (train.py:294-373 builds BV1 holdout loaders this way)."""
+        import copy
+
+        clone = copy.copy(self)
+        clone.instances = self.instances[
+            self.instances["audio path left"].str.contains(substring)
+        ].reset_index(drop=True)
+        return clone
+
     @property
     def wave_len(self) -> int:
         if self._wave_len is None:

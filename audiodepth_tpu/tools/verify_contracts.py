@@ -4,7 +4,7 @@ The reference ships a standalone script asserting that the RGB teacher's
 encoder features x1–x5 match the binaural student's fused pyramid shapes and
 that both emit the same depth shape (verify_feature_compatibility.py:75-235),
 returning a process exit code. Here the same contract is a callable (used by
-tests/test_contracts.py) and a CLI.
+tests/test_tools.py) and a CLI.
 """
 
 from __future__ import annotations

@@ -125,7 +125,15 @@ class Engine:
             return batch
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if self.mesh is not None:
-            batch = shard_batch(batch, self.mesh, self.cfg.mode.data_axis)
+            axis_size = self.mesh.shape[self.cfg.mode.data_axis]
+            b = next(iter(batch.values())).shape[0]
+            if b % axis_size == 0:
+                batch = shard_batch(batch, self.mesh, self.cfg.mode.data_axis)
+            else:
+                # ragged eval tail (drop_last=False) smaller than the data
+                # axis: replicate instead of sharding — correctness over
+                # speed for the odd last batch
+                batch = replicate(batch, self.mesh)
         return batch
 
     def _mesh_ctx(self):
@@ -227,6 +235,8 @@ class Engine:
                     if ckpt_manager is not None:
                         aux = getattr(self.task, "checkpoint_aux", lambda: None)()
                         ckpt_manager.save(epoch, state, aux=aux, metrics=val)
+                        ckpt_manager.mark_best(
+                            epoch, best_tracker.metric, best_tracker.best_value)
                 for name, hb in (holdout_batches or {}).items():
                     h = self.evaluate(state, hb())
                     if logger and h:

@@ -111,11 +111,21 @@ class Task:
         gt = batch["depth"]
         pred_m = jnp.clip(self.pred_to_meters(pred), 1e-3, self.max_depth)
         out = compute_errors_batch(self.to_meters(gt), pred_m, metric_scale=True)
-        # eval loss: L1 on valid pixels in model units (test.py:240)
-        mask = gt != 0
-        w = mask.astype(jnp.float32)
-        l1 = jnp.sum(jnp.abs(pred - gt) * w) / jnp.maximum(jnp.sum(w), 1.0)
-        out["loss"] = jnp.broadcast_to(l1, out["rmse"].shape)
+        # eval loss: masked L1 in model units (test.py:240), computed PER
+        # SAMPLE so the split mean is batch-size-independent with ragged
+        # (drop_last=False) tail batches. gt is brought to the pred's units
+        # (meter-emitting families on a depth_norm dataset would otherwise
+        # compare meters against normalized gt).
+        gt_model_units = (
+            gt if (self.pred_is_normalized or not self.depth_norm)
+            else gt * self.max_depth
+        )
+        w = (gt != 0).astype(jnp.float32)
+        axes = tuple(range(1, gt.ndim))
+        out["loss"] = (
+            jnp.sum(jnp.abs(pred - gt_model_units) * w, axis=axes)
+            / jnp.maximum(jnp.sum(w, axis=axes), 1.0)
+        )
         return out
 
 

@@ -58,6 +58,19 @@ def test_eval_metrics_shapes_and_sanity():
     assert float(np.mean(out["rmse"])) > 0.0
 
 
+def test_val_loss_batch_size_invariant():
+    """The eval 'loss' is per-sample masked L1, so the split mean must not
+    depend on batching (ragged drop_last=False tails included)."""
+    cfg = small_cfg()
+    ds = SyntheticEchoDataset(cfg, num_samples=3, seed=4)
+    task = make_task(cfg)
+    eng = Engine(cfg, task)
+    state = eng.init_state(jax.random.PRNGKey(0), next(ds.batches(1, shuffle=False)))
+    m1 = eng.evaluate(state, ds.batches(1, shuffle=False, drop_last=False))
+    m2 = eng.evaluate(state, ds.batches(2, shuffle=False, drop_last=False))
+    assert m1["loss"] == pytest.approx(m2["loss"], rel=1e-4)
+
+
 def test_evaluate_aggregates():
     cfg = small_cfg()
     ds = SyntheticEchoDataset(cfg, num_samples=8, seed=3)
