@@ -37,6 +37,10 @@ from ..attention import blockwise_cross_attention
 # hence the dv-aware cap.
 DEFAULT_BLOCK = 1024
 
+# Tests set this True to execute the kernels in Pallas interpret mode on
+# CPU, so the kernel math (not just the XLA twin) is pinned in CI.
+INTERPRET = False
+
 
 def _pick_block(n: int, dv: int = 128) -> int:
     # dv=256 @ block 1024 sits exactly at the 16 MB scoped-VMEM edge
@@ -179,8 +183,10 @@ def _pad_lanes(x: jnp.ndarray, mult: int = 128) -> jnp.ndarray:
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
-def _flash_fwd(q, k, v, scale, block_q=DEFAULT_BLOCK, block_k=DEFAULT_BLOCK):
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "block_q", "block_k", "interpret"))
+def _flash_fwd(q, k, v, scale, block_q=DEFAULT_BLOCK, block_k=DEFAULT_BLOCK,
+               interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -212,12 +218,15 @@ def _flash_fwd(q, k, v, scale, block_q=DEFAULT_BLOCK, block_k=DEFAULT_BLOCK):
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, dv), jnp.float32),
         ],
+        interpret=interpret,
     )(qp, kp, v)
     return out, lse
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
-def _flash_bwd(q, k, v, o, lse, do, scale, block_q=DEFAULT_BLOCK, block_k=DEFAULT_BLOCK):
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "block_q", "block_k", "interpret"))
+def _flash_bwd(q, k, v, o, lse, do, scale, block_q=DEFAULT_BLOCK,
+               block_k=DEFAULT_BLOCK, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -243,6 +252,7 @@ def _flash_bwd(q, k, v, o, lse, do, scale, block_q=DEFAULT_BLOCK, block_k=DEFAUL
         ],
         out_specs=pl.BlockSpec((1, block_q, dk), lambda bi, i, kk: (bi, i, 0)),
         scratch_shapes=[pltpu.VMEM((block_q, dk), jnp.float32)],
+        interpret=interpret,
     )(qp, kp, v, do, lse, dsum)
 
     dk_out, dv_out = pl.pallas_call(
@@ -268,6 +278,7 @@ def _flash_bwd(q, k, v, o, lse, do, scale, block_q=DEFAULT_BLOCK, block_k=DEFAUL
             pltpu.VMEM((block_k, dk), jnp.float32),
             pltpu.VMEM((block_k, dv), jnp.float32),
         ],
+        interpret=interpret,
     )(qp, kp, v, do, lse, dsum)
 
     return (
@@ -281,14 +292,14 @@ def _flash_bwd(q, k, v, o, lse, do, scale, block_q=DEFAULT_BLOCK, block_k=DEFAUL
 def flash_cross_attention(q, k, v, scale):
     dv = v.shape[-1]
     bq, bk = _pick_block(q.shape[1], dv), _pick_block(k.shape[1], dv)
-    out, _ = _flash_fwd(q, k, v, scale, bq, bk)
+    out, _ = _flash_fwd(q, k, v, scale, bq, bk, interpret=INTERPRET)
     return out
 
 
 def _vjp_fwd(q, k, v, scale):
     dv = v.shape[-1]
     bq, bk = _pick_block(q.shape[1], dv), _pick_block(k.shape[1], dv)
-    out, lse = _flash_fwd(q, k, v, scale, bq, bk)
+    out, lse = _flash_fwd(q, k, v, scale, bq, bk, interpret=INTERPRET)
     return out, (q, k, v, out, lse)
 
 
@@ -296,7 +307,7 @@ def _vjp_bwd(scale, residuals, g):
     q, k, v, o, lse = residuals
     dv = v.shape[-1]
     bq, bk = _pick_block(q.shape[1], dv), _pick_block(k.shape[1], dv)
-    return _flash_bwd(q, k, v, o, lse, g, scale, bq, bk)
+    return _flash_bwd(q, k, v, o, lse, g, scale, bq, bk, interpret=INTERPRET)
 
 
 flash_cross_attention.defvjp(_vjp_fwd, _vjp_bwd)

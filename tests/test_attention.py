@@ -1,12 +1,13 @@
-"""Blockwise cross-attention numerics (CPU: XLA path; Pallas path is
-exercised on real TPU by bench/verify runs — its fwd/grad parity vs this
-same XLA twin was validated on-chip)."""
+"""Cross-attention numerics: the XLA blockwise path AND the Pallas flash
+kernels (fwd values, logsumexp, and all three gradients) — the kernels run
+in interpret mode so CI executes the actual kernel math on CPU."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import audiodepth_tpu.ops.pallas.flash_attention as fa
 from audiodepth_tpu.ops.attention import blockwise_cross_attention
 from audiodepth_tpu.ops.pallas.flash_attention import cross_attention
 
@@ -39,6 +40,64 @@ def test_blockwise_grads_match_naive():
     gg = jax.grad(g, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gg):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def _rand_qkv(seed, b=2, n=128, m=128, dk=16, dv=32):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(b, n, dk)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, m, dk)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, m, dv)), jnp.float32)
+    return q, k, v
+
+
+def test_flash_fwd_kernel_interpret():
+    """Pallas forward kernel: output AND logsumexp vs the naive reference,
+    with multiple q/k blocks so the online-softmax update path runs."""
+    q, k, v = _rand_qkv(2)
+    scale = 1.0 / 4.0
+    out, lse = fa._flash_fwd(q, k, v, scale, block_q=64, block_k=32,
+                             interpret=True)
+    ref = naive_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    s = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+    lse_ref = jax.scipy.special.logsumexp(s, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_flash_bwd_kernel_interpret():
+    """Pallas backward kernels: dq, dk, dv vs jax.vjp of the naive path."""
+    q, k, v = _rand_qkv(3)
+    scale = 1.0 / 4.0
+    out, lse = fa._flash_fwd(q, k, v, scale, block_q=32, block_k=64,
+                             interpret=True)
+    rng = np.random.default_rng(4)
+    do = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
+    dq, dk, dv = fa._flash_bwd(q, k, v, out, lse, do, scale,
+                               block_q=32, block_k=64, interpret=True)
+    _, vjp = jax.vjp(lambda q_, k_, v_: naive_attention(q_, k_, v_, scale),
+                     q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp(do)
+    for got, ref in ((dq, dq_ref), (dk, dk_ref), (dv, dv_ref)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_flash_custom_vjp_interpret(monkeypatch):
+    """End-to-end custom_vjp (the exact production call path) in interpret
+    mode: value and all three grads vs the naive reference."""
+    monkeypatch.setattr(fa, "INTERPRET", True)
+    q, k, v = _rand_qkv(5, n=1024, m=1024)  # _pick_block → 1024, single block
+    scale = 1.0 / 4.0
+    f = lambda *a: jnp.sum(fa.flash_cross_attention(*a, scale) ** 2)
+    g = lambda *a: jnp.sum(naive_attention(*a, scale) ** 2)
+    np.testing.assert_allclose(float(f(q, k, v)), float(g(q, k, v)), rtol=1e-4)
+    gf = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    gg = jax.grad(g, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
 
 
 def test_dispatcher_falls_back_on_cpu():
