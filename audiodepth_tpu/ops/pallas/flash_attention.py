@@ -6,14 +6,18 @@ the reference's full HW×HW materialization (binaural_attention_model.py:
 124-131; 16384² per sample at level 2). Also emits the per-row logsumexp L
 so the backward can rematerialize probabilities blockwise.
 
-Backward: two kernels (standard flash decomposition), never materializing
-an N×N tensor:
+Backward: ONE merged kernel (grid b × k-block × q-block), never
+materializing an N×N tensor:
     D  = rowsum(do ⊙ o)                      (XLA, elementwise)
-    p  = exp(q·kᵀ·scale − L)                 (recomputed per block)
+    p  = exp(q·kᵀ·scale − L)                 (recomputed ONCE per block pair)
     dv = pᵀ·do          dp = do·vᵀ
     ds = p ⊙ (dp − D)   dq = ds·k·scale      dk = dsᵀ·q·scale
-The dq kernel sweeps k-blocks per q-block; the dk/dv kernel sweeps q-blocks
-per k-block. All matmuls hit the MXU in fp32.
+dk/dv accumulate in VMEM scratch across the q-block sweep; dq accumulates
+in HBM via input/output aliasing (read-modify-write per visit — the dq
+block revisit is 16 grid steps after its write-back, far outside the DMA
+pipeline depth). Versus the classic two-kernel split this computes the
+s and dp recomputation matmuls once instead of twice: 5 block matmuls per
+(q,k) pair instead of 7 — measured 369 ms -> 288 ms (1.28x) on the level-2 shape on v5e.
 
 Requirements: N % block == 0 (true for every feature level here: HW ∈
 {256, 1024, 4096, 16384}); head dims zero-padded to the 128-lane boundary
@@ -30,8 +34,12 @@ import jax.numpy as jnp
 
 from ..attention import blockwise_cross_attention
 
-# Measured on v5e-1 at level-2 shapes (B=64, N=16384, dk=16, dv=128):
-# block 256 → 746 ms fwd+bwd, block 512 → 348 ms, block 1024 → 259 ms.
+# Measured on v5e-1 at level-2 shapes (B=128 — both directions stacked at
+# bs=64 — N=16384, dk=16, dv=128, bf16 operands / fp32 softmax stats):
+#   fwd:  block 512 → 252 ms, block 1024 → 141 ms (63% MXU counting the
+#         dk→128 lane padding; the gap is the un-overlapped VPU softmax)
+#   bwd:  two-kernel split → 369 ms; merged one-pass kernel → 288 ms
+#         (5 block matmuls per (q,k) pair instead of 7)
 # Grid-step overhead dominates small blocks; 1024² fp32 scores = 4 MB VMEM,
 # but wide values (dv=512) blow the 16 MB scoped-VMEM stack at 1024 —
 # hence the dv-aware cap.
@@ -96,49 +104,30 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, s
 # backward
 # ---------------------------------------------------------------------------
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, dq_ref, acc_scr, *, scale):
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
+                dqt_ref, dk_ref, dv_ref, dqt_scr, dk_scr, dv_scr,
+                *, scale, block_q):
+    """Merged backward: grid (b, k-block, q-block), q innermost.
+
+    Recomputes s and dp ONCE per block pair and produces all three grads:
+    dk/dv accumulate in small VMEM scratch over the consecutive q sweep
+    (written out at the sweep's end, the standard pattern); dq accumulates
+    TRANSPOSED ([dk, N], computed directly as kᵀ·dsᵀ at identical MXU
+    cost) in a persistent VMEM scratch that survives the whole per-batch
+    sweep — transposing shrinks it 8x (dk rides the 8-sublane axis instead
+    of a 16/128-padded lane axis), which is what lets the full-N
+    accumulator coexist with 1024-wide blocks. No out-of-order HBM output
+    revisits are needed (Pallas TPU only defines consecutive ones).
+    """
     from jax.experimental import pallas as pl
 
-    k_idx = pl.program_id(2)
-    nk = pl.num_programs(2)
-
-    @pl.when(k_idx == 0)
-    def _init():
-        acc_scr[:] = jnp.zeros_like(acc_scr)
-
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    lse = lse_ref[0].astype(jnp.float32)
-    dsum = dsum_ref[0].astype(jnp.float32)
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    p = jnp.exp(s - lse)
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ds = p * (dp - dsum)
-    acc_scr[:] = acc_scr[:] + jnp.dot(
-        ds.astype(k.dtype), k, preferred_element_type=jnp.float32
-    ) * scale
-
-    @pl.when(k_idx == nk - 1)
-    def _finalize():
-        dq_ref[0] = acc_scr[:].astype(dq_ref.dtype)
-
-
-def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
-                dk_ref, dv_ref, dk_scr, dv_scr, *, scale):
-    from jax.experimental import pallas as pl
-
+    k_idx = pl.program_id(1)
+    nk = pl.num_programs(1)
     q_idx = pl.program_id(2)
     nq = pl.num_programs(2)
 
     @pl.when(q_idx == 0)
-    def _init():
+    def _init_kv():
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
@@ -165,6 +154,26 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale                                              # dsᵀ·q [bk, dk]
+
+    dk_sub = dqt_scr.shape[0]
+    dqt_part = jax.lax.dot_general(
+        k, ds.astype(k.dtype), (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[:dk_sub] * scale                                     # kᵀ·dsᵀ [dk, bq]
+
+    cols = pl.ds(q_idx * block_q, block_q)
+
+    @pl.when(k_idx == 0)
+    def _dq_first():
+        dqt_scr[:, cols] = dqt_part
+
+    @pl.when(k_idx != 0)
+    def _dq_accum():
+        dqt_scr[:, cols] = dqt_scr[:, cols] + dqt_part
+
+    @pl.when(k_idx == nk - 1)
+    def _dq_out():
+        dqt_ref[0] = dqt_scr[:, cols]
 
     @pl.when(q_idx == nq - 1)
     def _finalize():
@@ -238,26 +247,15 @@ def _flash_bwd(q, k, v, o, lse, do, scale, block_q=DEFAULT_BLOCK,
     dsum = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
                    keepdims=True)  # [B, N, 1]
 
-    dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b, n, dk), jnp.float32),
-        grid=(b, n // block_q, m // block_k),
-        in_specs=[
-            pl.BlockSpec((1, block_q, dk), lambda bi, i, kk: (bi, i, 0)),
-            pl.BlockSpec((1, block_k, dk), lambda bi, i, kk: (bi, kk, 0)),
-            pl.BlockSpec((1, block_k, dv), lambda bi, i, kk: (bi, kk, 0)),
-            pl.BlockSpec((1, block_q, dv), lambda bi, i, kk: (bi, i, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda bi, i, kk: (bi, i, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda bi, i, kk: (bi, i, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, dk), lambda bi, i, kk: (bi, i, 0)),
-        scratch_shapes=[pltpu.VMEM((block_q, dk), jnp.float32)],
-        interpret=interpret,
-    )(qp, kp, v, do, lse, dsum)
+    # dq accumulates transposed: dk on the (8-)sublane axis instead of a
+    # 128-padded lane axis → the full-N accumulator is ~dk_sub/16 KB per
+    # row instead of 512, small enough to live in VMEM for N=16384
+    dk_sub = max(16, -(-dk_orig // 16) * 16)
 
-    dk_out, dv_out = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale),
+    dqt, dk_out, dv_out = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, block_q=block_q),
         out_shape=(
+            jax.ShapeDtypeStruct((b, dk_sub, n), jnp.float32),
             jax.ShapeDtypeStruct((b, m, dk), jnp.float32),
             jax.ShapeDtypeStruct((b, m, dv), jnp.float32),
         ),
@@ -271,18 +269,22 @@ def _flash_bwd(q, k, v, o, lse, do, scale, block_q=DEFAULT_BLOCK,
             pl.BlockSpec((1, block_q, 1), lambda bi, kk, i: (bi, i, 0)),
         ],
         out_specs=(
+            pl.BlockSpec((1, dk_sub, block_q), lambda bi, kk, i: (bi, 0, i)),
             pl.BlockSpec((1, block_k, dk), lambda bi, kk, i: (bi, kk, 0)),
             pl.BlockSpec((1, block_k, dv), lambda bi, kk, i: (bi, kk, 0)),
         ),
         scratch_shapes=[
+            pltpu.VMEM((dk_sub, n), jnp.float32),
             pltpu.VMEM((block_k, dk), jnp.float32),
             pltpu.VMEM((block_k, dv), jnp.float32),
         ],
         interpret=interpret,
     )(qp, kp, v, do, lse, dsum)
 
+    dq = jnp.swapaxes(dqt, 1, 2)[..., :dk_orig]
+
     return (
-        dq[..., :dk_orig].astype(q.dtype),
+        dq.astype(q.dtype),
         dk_out[..., :dk_orig].astype(k.dtype),
         dv_out.astype(v.dtype),
     )

@@ -22,6 +22,7 @@ import json
 import time
 
 import jax
+import jax.numpy as jnp
 
 from audiodepth_tpu.configs import load_config
 from audiodepth_tpu.data.synthetic import SyntheticEchoDataset
@@ -29,6 +30,81 @@ from audiodepth_tpu.models import make_task
 from audiodepth_tpu.train import Engine
 
 TORCH_CPU_BASELINE_PAIRS_PER_SEC = 1.254
+
+# bf16 MXU peak per chip, by jax device_kind — the MFU denominator.
+PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197.3e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def step_flops(engine, state, batch, epoch=0.0):
+    """Per-step FLOPs of the compiled train step via XLA cost analysis."""
+    try:
+        lowered = engine._train_step.lower(state, batch, jnp.float32(epoch))
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def mfu(flops_per_step, step_time_s):
+    peak = PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
+    if not flops_per_step or not peak or step_time_s <= 0:
+        return None
+    return flops_per_step / step_time_s / peak
+
+
+def bench_native_decode(tmpdir, n_samples=64, batch_size=64):
+    """Timed end-to-end native C++ decode: wav + .npy depth → transport batch.
+
+    Measures the host-side data pipeline the streamed path depends on
+    (pairs decoded per second through native/adepth_io.cpp's thread pool).
+    """
+    import os
+
+    import numpy as np
+
+    from audiodepth_tpu.data import native_io
+
+    if not native_io.available():
+        return None
+    rng = np.random.default_rng(0)
+    fixed_len, hw = 66150, (256, 256)
+    wavs, depths = [], []
+    for i in range(n_samples):
+        w = (rng.standard_normal((fixed_len, 2)) * 0.1).astype(np.float32)
+        # minimal RIFF/PCM16 wav
+        pcm = (np.clip(w, -1, 1) * 32767).astype("<i2")
+        data = pcm.tobytes()
+        import struct
+
+        hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+               + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 44100 * 4, 4, 16)
+               + b"data" + struct.pack("<I", len(data)))
+        wp = os.path.join(tmpdir, f"w{i}.wav")
+        with open(wp, "wb") as f:
+            f.write(hdr + data)
+        dp = os.path.join(tmpdir, f"d{i}.npy")
+        np.save(dp, rng.uniform(0, 30000, hw).astype(np.float32))
+        wavs.append(wp)
+        depths.append(dp)
+    # warm the page cache / thread pool once
+    native_io.assemble_batch(wavs[:batch_size], depths[:batch_size],
+                             fixed_len, hw, 30.0, False)
+    t0 = time.perf_counter()
+    n_batches = 4
+    for _ in range(n_batches):
+        native_io.assemble_batch(wavs[:batch_size], depths[:batch_size],
+                                 fixed_len, hw, 30.0, False)
+    dt = time.perf_counter() - t0
+    return n_batches * batch_size / dt
 
 
 def main():
@@ -103,6 +179,10 @@ def main():
     n_chips = jax.device_count()
     pairs_per_sec_chip = n_steps * batch_size / dt / n_chips
 
+    # MFU: compiled-step FLOPs ÷ wall ÷ chip peak (VERDICT r1 #7)
+    unet_flops = step_flops(eng, state, cached_batches[0])
+    unet_mfu = mfu(unet_flops, dt / n_steps)
+
     # secondary metric: p50 latency of the fused waveform→depth inference
     # graph at bs=1 (the BASELINE.json p50 target) → bench_details.json
     import numpy as _np
@@ -123,16 +203,70 @@ def main():
         lats.append(time.perf_counter() - t0)
     p50_ms = float(_np.percentile(lats, 50) * 1e3)
 
+    # ------------------------------------------------------------------
+    # binaural attention config: pairs/s + MFU (the O(N²) flagship; Pallas
+    # flash kernels). Guarded so a failure never takes down the headline.
+    bin_pairs, bin_mfu, bin_flops = None, None, None
+    cache_nbytes = cache.nbytes()
+    try:
+        del state, cached_batches, cache, host_batches  # free HBM
+        bin_bs = 64
+        bcfg = load_config(
+            "batvisionv2", "train", "bench", "binaural_attention",
+            overrides={"mode.batch_size": bin_bs},
+        )
+        bds = SyntheticEchoDataset(bcfg, num_samples=bin_bs, seed=0)
+        braw = next(bds.batches(bin_bs, shuffle=False))
+        bbatch = encode_batch(braw, depth_units)
+        btask = make_task(bcfg)
+        beng = Engine(bcfg, btask)
+        bstate = beng.init_state(jax.random.PRNGKey(0), braw)
+        bstate, bm = beng.train_step(bstate, bbatch)
+        _ = float(bm["loss"])
+        t0 = time.perf_counter()
+        bn = 5
+        for _ in range(bn):
+            bstate, bm = beng.train_step(bstate, bbatch)
+        _ = float(bm["loss"])
+        bdt = (time.perf_counter() - t0) / bn
+        bin_pairs = bin_bs / bdt
+        bin_flops = step_flops(beng, bstate, bbatch)
+        bin_mfu = mfu(bin_flops, bdt)
+        del bstate, beng
+    except Exception as e:  # pragma: no cover - bench resilience
+        print(f"# binaural bench skipped: {e}")
+
+    # native C++ decode pipeline throughput (host-side, VERDICT r1 #10)
+    import tempfile
+
+    native_pairs = None
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            native_pairs = bench_native_decode(td)
+    except Exception as e:  # pragma: no cover
+        print(f"# native decode bench skipped: {e}")
+
     with open("bench_details.json", "w") as f:
         json.dump(
             {
                 "train_pairs_per_sec_per_chip": round(pairs_per_sec_chip, 2),
+                "unet_mfu": round(unet_mfu, 4) if unet_mfu else None,
+                "unet_flops_per_step": unet_flops,
+                "binaural_pairs_per_sec_per_chip": (
+                    round(bin_pairs, 2) if bin_pairs else None
+                ),
+                "binaural_mfu": round(bin_mfu, 4) if bin_mfu else None,
+                "binaural_flops_per_step": bin_flops,
+                "native_decode_pairs_per_sec": (
+                    round(native_pairs, 2) if native_pairs else None
+                ),
                 "streamed_over_host_link_pairs_per_sec": round(streamed, 2),
-                "dataset_cache_bytes": cache.nbytes(),
+                "dataset_cache_bytes": cache_nbytes,
                 "inference_p50_ms_bs1": round(p50_ms, 2),
                 "batch_size": batch_size,
                 "n_steps": n_steps,
                 "chips": n_chips,
+                "device_kind": jax.devices()[0].device_kind,
             },
             f,
         )
@@ -146,6 +280,11 @@ def main():
                 "vs_baseline": round(
                     pairs_per_sec_chip / TORCH_CPU_BASELINE_PAIRS_PER_SEC, 2
                 ),
+                "mfu": round(unet_mfu, 4) if unet_mfu else None,
+                "binaural_pairs_per_sec_per_chip": (
+                    round(bin_pairs, 2) if bin_pairs else None
+                ),
+                "binaural_mfu": round(bin_mfu, 4) if bin_mfu else None,
             }
         )
     )
