@@ -10,14 +10,16 @@ Backward: ONE merged kernel (grid b × k-block × q-block), never
 materializing an N×N tensor:
     D  = rowsum(do ⊙ o)                      (XLA, elementwise)
     p  = exp(q·kᵀ·scale − L)                 (recomputed ONCE per block pair)
-    dv = pᵀ·do          dp = do·vᵀ
-    ds = p ⊙ (dp − D)   dq = ds·k·scale      dk = dsᵀ·q·scale
-dk/dv accumulate in VMEM scratch across the q-block sweep; dq accumulates
-in HBM via input/output aliasing (read-modify-write per visit — the dq
-block revisit is 16 grid steps after its write-back, far outside the DMA
-pipeline depth). Versus the classic two-kernel split this computes the
-s and dp recomputation matmuls once instead of twice: 5 block matmuls per
-(q,k) pair instead of 7 — measured 369 ms -> 288 ms (1.28x) on the level-2 shape on v5e.
+    dv = pᵀ·do          dp = do·vᵀ           ds = p ⊙ (dp − D)
+    dqᵀ = k₁₆ᵀ·dsᵀ·scale                     dkᵀ = q₁₆ᵀ·ds·scale
+dkᵀ/dv accumulate in VMEM scratch across the q-block sweep; dqᵀ
+accumulates in a persistent full-N VMEM scratch. Two wins vs the classic
+two-kernel split: (1) s and dp are computed once instead of twice — 5
+block matmuls per (q,k) pair instead of 7; (2) dq and dk are produced
+TRANSPOSED from the lane-SLICED (un-padded, dk=16-wide) operands, so
+those two matmuls stream 16 MXU output rows instead of a 128-lane padded
+output tile (~8x less MXU work each). Measured on the level-2 shape on
+v5e: two-kernel 369 ms → merged 288 ms → merged+both-transposed 236 ms.
 
 Requirements: N % block == 0 (true for every feature level here: HW ∈
 {256, 1024, 4096, 16384}); head dims zero-padded to the 128-lane boundary
@@ -39,7 +41,9 @@ from ..attention import blockwise_cross_attention
 #   fwd:  block 512 → 252 ms, block 1024 → 141 ms (63% MXU counting the
 #         dk→128 lane padding; the gap is the un-overlapped VPU softmax)
 #   bwd:  two-kernel split → 369 ms; merged one-pass kernel → 288 ms
-#         (5 block matmuls per (q,k) pair instead of 7)
+#         (5 block matmuls per (q,k) pair instead of 7); + transposed
+#         lane-sliced dq/dk matmuls → 236 ms (only the s recompute still
+#         pays the dk→128 pad; dq/dk stream 16 output rows)
 # Grid-step overhead dominates small blocks; 1024² fp32 scores = 4 MB VMEM,
 # but wide values (dv=512) blow the 16 MB scoped-VMEM stack at 1024 —
 # hence the dv-aware cap.
@@ -105,19 +109,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, s
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
-                dqt_ref, dk_ref, dv_ref, dqt_scr, dk_scr, dv_scr,
+                dqt_ref, dkt_ref, dv_ref, dqt_scr, dkt_scr, dv_scr,
                 *, scale, block_q):
     """Merged backward: grid (b, k-block, q-block), q innermost.
 
     Recomputes s and dp ONCE per block pair and produces all three grads:
-    dk/dv accumulate in small VMEM scratch over the consecutive q sweep
+    dkᵀ/dv accumulate in small VMEM scratch over the consecutive q sweep
     (written out at the sweep's end, the standard pattern); dq accumulates
-    TRANSPOSED ([dk, N], computed directly as kᵀ·dsᵀ at identical MXU
-    cost) in a persistent VMEM scratch that survives the whole per-batch
-    sweep — transposing shrinks it 8x (dk rides the 8-sublane axis instead
-    of a 16/128-padded lane axis), which is what lets the full-N
-    accumulator coexist with 1024-wide blocks. No out-of-order HBM output
-    revisits are needed (Pallas TPU only defines consecutive ones).
+    TRANSPOSED ([dk, N]) in a persistent VMEM scratch that survives the
+    whole per-batch sweep. BOTH dq and dk are produced transposed, as
+    q16ᵀ·ds-shaped matmuls over the lane-SLICED (un-padded) head dim:
+    the [dk_sub, block] output streams only dk_sub≈16 MXU rows instead of
+    a 128-lane padded output tile, cutting those two matmuls ~8x, and the
+    [dk, N] accumulator rides the sublane axis so it is 8x smaller in
+    VMEM — which is what lets the full-N dq accumulator coexist with
+    1024-wide blocks. No out-of-order HBM output revisits are needed
+    (Pallas TPU only defines consecutive ones).
     """
     from jax.experimental import pallas as pl
 
@@ -128,9 +135,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
 
     @pl.when(q_idx == 0)
     def _init_kv():
-        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dkt_scr[:] = jnp.zeros_like(dkt_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
+    dk_sub = dqt_scr.shape[0]
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -150,16 +158,15 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )                                                      # [bq, bk]
     ds = p * (dp - dsum)
-    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+    dkt_scr[:] = dkt_scr[:] + jax.lax.dot_general(
+        q[:, :dk_sub], ds.astype(q.dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale                                              # dsᵀ·q [bk, dk]
+    ) * scale                                              # q16ᵀ·ds [dk, bk]
 
-    dk_sub = dqt_scr.shape[0]
     dqt_part = jax.lax.dot_general(
-        k, ds.astype(k.dtype), (((0,), (1,)), ((), ())),
+        k[:, :dk_sub], ds.astype(k.dtype), (((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )[:dk_sub] * scale                                     # kᵀ·dsᵀ [dk, bq]
+    ) * scale                                              # k16ᵀ·dsᵀ [dk, bq]
 
     cols = pl.ds(q_idx * block_q, block_q)
 
@@ -177,7 +184,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
 
     @pl.when(q_idx == nq - 1)
     def _finalize():
-        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dkt_ref[0] = dkt_scr[:].astype(dkt_ref.dtype)
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
@@ -252,11 +259,11 @@ def _flash_bwd(q, k, v, o, lse, do, scale, block_q=DEFAULT_BLOCK,
     # row instead of 512, small enough to live in VMEM for N=16384
     dk_sub = max(16, -(-dk_orig // 16) * 16)
 
-    dqt, dk_out, dv_out = pl.pallas_call(
+    dqt, dkt, dv_out = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, block_q=block_q),
         out_shape=(
             jax.ShapeDtypeStruct((b, dk_sub, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, m, dk), jnp.float32),
+            jax.ShapeDtypeStruct((b, dk_sub, m), jnp.float32),
             jax.ShapeDtypeStruct((b, m, dv), jnp.float32),
         ),
         grid=(b, m // block_k, n // block_q),
@@ -270,22 +277,23 @@ def _flash_bwd(q, k, v, o, lse, do, scale, block_q=DEFAULT_BLOCK,
         ],
         out_specs=(
             pl.BlockSpec((1, dk_sub, block_q), lambda bi, kk, i: (bi, 0, i)),
-            pl.BlockSpec((1, block_k, dk), lambda bi, kk, i: (bi, kk, 0)),
+            pl.BlockSpec((1, dk_sub, block_k), lambda bi, kk, i: (bi, 0, kk)),
             pl.BlockSpec((1, block_k, dv), lambda bi, kk, i: (bi, kk, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((dk_sub, n), jnp.float32),
-            pltpu.VMEM((block_k, dk), jnp.float32),
+            pltpu.VMEM((dk_sub, block_k), jnp.float32),
             pltpu.VMEM((block_k, dv), jnp.float32),
         ],
         interpret=interpret,
     )(qp, kp, v, do, lse, dsum)
 
     dq = jnp.swapaxes(dqt, 1, 2)[..., :dk_orig]
+    dk_out = jnp.swapaxes(dkt, 1, 2)[..., :dk_orig]
 
     return (
         dq.astype(q.dtype),
-        dk_out[..., :dk_orig].astype(k.dtype),
+        dk_out.astype(k.dtype),
         dv_out.astype(v.dtype),
     )
 
