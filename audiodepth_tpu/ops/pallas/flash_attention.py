@@ -55,9 +55,11 @@ INTERPRET = False
 
 
 def _pick_block(n: int, dv: int = 128) -> int:
-    # dv=256 @ block 1024 sits exactly at the 16 MB scoped-VMEM edge
-    # (16.13 MB with double buffering) — cap at 512 from dv=256 up
-    cap = DEFAULT_BLOCK if dv < 256 else 512
+    # dv=512 @ block 1024 blows the 16 MB scoped-VMEM stack in the merged
+    # backward (s/p/dp/ds blocks + dv scratch) — cap at 512 there. dv=256
+    # fits at 1024 since the dq/dk accumulators went transposed (measured
+    # level-3 shape: 46.6 ms @512 → 41.9 ms @1024 fwd+bwd).
+    cap = DEFAULT_BLOCK if dv <= 256 else 512
     return min(cap, n)
 
 
@@ -324,10 +326,18 @@ flash_cross_attention.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def cross_attention(q, k, v, scale: float, block_q: int = DEFAULT_BLOCK):
-    """Dispatch: Pallas flash kernel on TPU when shapes tile; else XLA."""
+    """Dispatch: Pallas flash kernel on TPU when shapes tile; else XLA.
+
+    Small sequences (N ≤ 256, e.g. the level-5 16×16 feature map) go to
+    the XLA twin even on TPU: the N² score tensor is tiny there and the
+    Pallas grid/launch overhead dominates (measured 13.2 ms Pallas vs
+    ~4-6 ms XLA at [128, 256, 512] fwd+bwd on v5e).
+    """
     n, m = q.shape[1], k.shape[1]
     on_tpu = jax.default_backend() == "tpu"
     dv = v.shape[-1]
-    if on_tpu and n % _pick_block(n, dv) == 0 and m % _pick_block(m, dv) == 0:
+    big = n > 256 or m > 256
+    if (on_tpu and big
+            and n % _pick_block(n, dv) == 0 and m % _pick_block(m, dv) == 0):
         return flash_cross_attention(q, k, v, scale)
     return blockwise_cross_attention(q, k, v, scale, block_q=block_q)

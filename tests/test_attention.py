@@ -84,6 +84,27 @@ def test_flash_bwd_kernel_interpret():
                                    rtol=1e-3, atol=1e-4)
 
 
+def test_flash_bwd_odd_head_dims_interpret():
+    """Transposed dq/dk path with dk_orig below / not a multiple of the
+    16-sublane dk_sub granule (lane-sliced operands stay zero-padded)."""
+    scale = 1.0 / 4.0
+    for dk_orig in (8, 40):
+        q, k, v = _rand_qkv(10 + dk_orig, dk=dk_orig)
+        out, lse = fa._flash_fwd(q, k, v, scale, block_q=64, block_k=32,
+                                 interpret=True)
+        rng = np.random.default_rng(11)
+        do = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
+        dq, dk, dv = fa._flash_bwd(q, k, v, out, lse, do, scale,
+                                   block_q=64, block_k=32, interpret=True)
+        _, vjp = jax.vjp(lambda q_, k_, v_: naive_attention(q_, k_, v_, scale),
+                         q, k, v)
+        dq_ref, dk_ref, dv_ref = vjp(do)
+        assert dq.shape == q.shape and dk.shape == k.shape
+        for got, ref in ((dq, dq_ref), (dk, dk_ref), (dv, dv_ref)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-3, atol=1e-4)
+
+
 def test_flash_custom_vjp_interpret(monkeypatch):
     """End-to-end custom_vjp (the exact production call path) in interpret
     mode: value and all three grads vs the naive reference."""
