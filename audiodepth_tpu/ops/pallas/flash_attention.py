@@ -19,7 +19,8 @@ block matmuls per (q,k) pair instead of 7; (2) dq and dk are produced
 TRANSPOSED from the lane-SLICED (un-padded, dk=16-wide) operands, so
 those two matmuls stream 16 MXU output rows instead of a 128-lane padded
 output tile (~8x less MXU work each). Measured on the level-2 shape on
-v5e: two-kernel 369 ms → merged 288 ms → merged+both-transposed 236 ms.
+v5e: two-kernel 369 ms → merged 288 ms → merged+both-transposed 203 ms
+(idle host; 236 ms under host contention).
 
 Requirements: N % block == 0 (true for every feature level here: HW ∈
 {256, 1024, 4096, 16384}); head dims zero-padded to the 128-lane boundary
@@ -42,8 +43,10 @@ from ..attention import blockwise_cross_attention
 #         dk→128 lane padding; the gap is the un-overlapped VPU softmax)
 #   bwd:  two-kernel split → 369 ms; merged one-pass kernel → 288 ms
 #         (5 block matmuls per (q,k) pair instead of 7); + transposed
-#         lane-sliced dq/dk matmuls → 236 ms (only the s recompute still
-#         pays the dk→128 pad; dq/dk stream 16 output rows)
+#         lane-sliced dq/dk matmuls → 203 ms on an idle host (only the s
+#         recompute still pays the dk→128 pad; dq/dk stream 16 output
+#         rows). Asymmetric blocks (512,2048)/(2048,512) don't beat
+#         (1024,1024) — measured 198-224 ms.
 # Grid-step overhead dominates small blocks; 1024² fp32 scores = 4 MB VMEM,
 # but wide values (dv=512) blow the 16 MB scoped-VMEM stack at 1024 —
 # hence the dv-aware cap.
