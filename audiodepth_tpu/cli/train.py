@@ -92,6 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-validation visualization PNGs (train.py:861-871)")
     p.add_argument("--no_visualize", action="store_true")
     p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace of the first "
+                        "post-compile epoch to this directory")
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--compute_dtype", default=None, choices=[None, "bfloat16", "float32"])
     p.add_argument("--num_samples", type=int, default=256,
@@ -384,11 +387,17 @@ def main(argv=None):
     except Exception as e:
         print(f"[train] architecture dump skipped: {e}")
     best = BestTracker(args.best_metric)
+    profiler = None
+    if args.profile_dir:
+        from ..obs.logging import ProfilerHook
+
+        profiler = ProfilerHook(args.profile_dir)
     state = eng.fit(
         state, train_batches, val_batches,
         start_epoch=start_epoch,
         ckpt_manager=mgr, best_tracker=best, logger=logger,
         holdout_batches=holdout, vis_callback=vis_callback,
+        profiler=profiler,
     )
     mgr.wait()
     logger.close()

@@ -166,6 +166,7 @@ class Engine:
         logger=None,
         holdout_batches: Optional[Dict[str, Callable[[], Iterable]]] = None,
         vis_callback=None,
+        profiler=None,
     ) -> TrainState:
         """Full training driver (the engine replacing the reference's seven
         copy-pasted loops — SURVEY §1): epoch loop with per-epoch timing,
@@ -182,7 +183,12 @@ class Engine:
 
         cfg = self.cfg.mode
         epochs = epochs or cfg.epochs
+        # profile the first post-compile epoch (obs.logging.ProfilerHook):
+        # epoch start_epoch pays the XLA compile, so trace the next one
+        profile_epoch = min(start_epoch + 1, epochs) if profiler else None
         for epoch in range(start_epoch, epochs + 1):
+            if profiler is not None and epoch == profile_epoch:
+                profiler.start()
             t0 = _time.perf_counter()
             n_samples = 0
             last_metrics: Dict[str, Any] = {}
@@ -196,6 +202,9 @@ class Engine:
                 last_metrics = metrics
             jax.block_until_ready(last_metrics.get("loss"))
             dt = _time.perf_counter() - t0
+            if profiler is not None and epoch == profile_epoch:
+                profiler.stop()
+                print(f"profiler trace for epoch {epoch}: {profiler.log_dir}")
             if logger:
                 chips = max(jax.device_count(), 1)
                 logger.log(

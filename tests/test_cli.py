@@ -139,6 +139,21 @@ def test_device_cache_training(tmp_path):
     assert "val/rmse" in log_file.read_text()
 
 
+def test_profile_dir_writes_trace(tmp_path):
+    """--profile_dir traces the first post-compile epoch (ProfilerHook)."""
+    prof = tmp_path / "prof"
+    train_main([
+        "--dataset", "synthetic", "--model", "coarse_depth",
+        "--model_type", "lite", "--n_bins", "8", "--base_channels", "8",
+        "--experiment_name", "profsmoke", "--profile_dir", str(prof),
+        "--epochs", "2", "--batch_size", "4", "--num_samples", "8",
+        "--compute_dtype", "float32", "--no_visualize",
+        "--ckpt_dir", str(tmp_path / "ck"), "--log_dir", str(tmp_path / "lg"),
+    ])
+    traces = list(prof.glob("plugins/profile/*/*"))
+    assert traces, f"no profiler artifacts under {prof}"
+
+
 def test_resume_training(tmp_path, capsys):
     common = [
         "--dataset", "synthetic", "--model", "unet_baseline",
