@@ -64,6 +64,7 @@ python -m audiodepth_tpu.tools.preprocess_sparse_depth \
     --dataset_dir "$DATA_V2" --method downup_015
 python -m audiodepth_tpu.cli.train --dataset batvisionv2 --dataset_dir "$DATA_V2" \
     --model coarse_depth --model_type hybrid --n_bins 8 --bin_strategy sid \
+    --sparse_method downup_015 \
     --lr_schedule warm_restarts --experiment_name coarse_hybrid
 
 # ---------------------------------------------------------------------------
@@ -71,5 +72,15 @@ python -m audiodepth_tpu.cli.train --dataset batvisionv2 --dataset_dir "$DATA_V2
 # ---------------------------------------------------------------------------
 python -m audiodepth_tpu.cli.evaluate --dataset batvisionv2 --dataset_dir "$DATA_V2" \
     --experiment_name paper_bv2 --eval_on test --visualize --save_tensors
+# best-validation checkpoint via a direct path (experiment auto-extracted)
+python -m audiodepth_tpu.cli.evaluate --dataset batvisionv2 --dataset_dir "$DATA_V2" \
+    --checkpoint_path ./checkpoints/paper_bv2 --use_best --eval_on val
 python -m audiodepth_tpu.tools.export --dataset batvisionv2 --model unet_baseline \
     --out ./export/unet_bv2.stablehlo
+
+# ---------------------------------------------------------------------------
+# Profiling: trace the first post-compile epoch with jax.profiler
+# ---------------------------------------------------------------------------
+python -m audiodepth_tpu.cli.train --dataset synthetic --model binaural_attention \
+    --epochs 3 --batch_size 64 --profile_dir /tmp/adepth_profile \
+    --experiment_name profiled
