@@ -96,6 +96,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace of the first "
                         "post-compile epoch to this directory")
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None,
+                   help="PRNG seed for init + epoch shuffles (mode.seed)")
     p.add_argument("--compute_dtype", default=None, choices=[None, "bfloat16", "float32"])
     p.add_argument("--num_samples", type=int, default=256,
                    help="synthetic dataset size")
@@ -117,6 +119,7 @@ def config_from_args(args):
         "mode.optimizer": args.optimizer,
         "mode.lr_schedule": args.lr_schedule,
         "mode.compute_dtype": args.compute_dtype,
+        "mode.seed": args.seed,
         "model.ngf": args.ngf,
         "model.base_channels": args.base_channels,
         "model.generator": args.generator,
@@ -308,7 +311,9 @@ def main(argv=None):
     else:
         train_src, val_src = train_ds, val_ds
 
-    epoch_seed = [0]
+    # per-epoch reshuffle stream, offset by mode.seed so --seed changes
+    # both init AND the data order
+    epoch_seed = [int(cfg.mode.seed) * 100_003]
 
     def train_batches():
         epoch_seed[0] += 1
