@@ -1,0 +1,66 @@
+"""Subprocess worker for test_multihost.py — one simulated host.
+
+Run as: python tests/multihost_worker.py <process_id> <num_processes> <port>
+
+Each process gets 4 virtual CPU devices; together they form one global
+mesh (SURVEY §2.6 DDP/multi-process row: multi-host training is the same
+SPMD program over a bigger mesh, with per-host batch loading).
+"""
+import os
+import sys
+
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+port = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from audiodepth_tpu.parallel.multihost import (  # noqa: E402
+    initialize_multihost, local_batch_slice, make_global_mesh)
+
+initialize_multihost(coordinator_address=f"127.0.0.1:{port}",
+                     num_processes=nproc, process_id=pid)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+assert jax.process_count() == nproc, jax.process_count()
+assert jax.local_device_count() == 4, jax.local_device_count()
+assert jax.device_count() == 4 * nproc, jax.device_count()
+
+mesh = make_global_mesh()
+B = 16
+sl = local_batch_slice(B)
+per = B // nproc
+assert sl == slice(pid * per, (pid + 1) * per), sl
+
+# per-host data loading: each host materializes only its slice of the
+# global batch, then the DP train-step pattern (replicated params,
+# batch-sharded inputs, implicit cross-host grad all-reduce) runs jitted
+global_x = np.arange(B * 3, dtype=np.float32).reshape(B, 3) / 10.0
+global_y = np.linspace(0.0, 1.0, B, dtype=np.float32).reshape(B, 1)
+x_shard = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data", None)), global_x[sl], (B, 3))
+y_shard = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data", None)), global_y[sl], (B, 1))
+w = jnp.zeros((3, 1), jnp.float32)  # replicated
+
+
+@jax.jit
+def grad_step(w, x, y):
+    def loss(w):
+        return jnp.mean((x @ w - y) ** 2)
+
+    return jax.grad(loss)(w)
+
+
+g = grad_step(w, x_shard, y_shard)
+g_ref = (2.0 / B) * global_x.T @ (global_x @ np.zeros((3, 1)) - global_y)
+np.testing.assert_allclose(np.asarray(jax.device_get(g)), g_ref,
+                           rtol=1e-5, atol=1e-6)
+print(f"proc {pid}: ok grad[0,0]={float(g[0, 0]):.6f}", flush=True)
