@@ -46,11 +46,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
-    """Device-put every array in a batch pytree, sharded on dim 0."""
+    """Device-put every array in a batch pytree, sharded on dim 0.
+
+    Single-process: a plain device_put. Multi-process (jax.distributed):
+    the incoming batch holds this HOST'S rows of the global batch
+    (multihost.local_batch_slice) — the global array is assembled from the
+    per-process shards without any cross-host data movement.
+    """
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        def put(x):
+            x = np.asarray(x)
+            global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_process_local_data(sh, x, global_shape)
+
+        return jax.tree_util.tree_map(put, batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree over the whole mesh (all hosts must pass equal
+    values — true for params/optimizer state initialized from the same
+    seed and for ragged eval tails read identically on every host)."""
     sh = replicated(mesh)
+    if jax.process_count() > 1:
+        def put(x):
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(sh, x, x.shape)
+
+        return jax.tree_util.tree_map(put, tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -126,13 +126,16 @@ class Engine:
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if self.mesh is not None:
             axis_size = self.mesh.shape[self.cfg.mode.data_axis]
-            b = next(iter(batch.values())).shape[0]
+            # multi-process: each host feeds its local slice; the global
+            # batch is nproc x the local rows (parallel/mesh.shard_batch)
+            b = next(iter(batch.values())).shape[0] * jax.process_count()
             if b % axis_size == 0:
                 batch = shard_batch(batch, self.mesh, self.cfg.mode.data_axis)
             else:
                 # ragged eval tail (drop_last=False) smaller than the data
                 # axis: replicate instead of sharding — correctness over
-                # speed for the odd last batch
+                # speed for the odd last batch (multi-process hosts must
+                # then read the tail identically)
                 batch = replicate(batch, self.mesh)
         return batch
 

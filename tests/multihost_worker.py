@@ -63,4 +63,40 @@ g = grad_step(w, x_shard, y_shard)
 g_ref = (2.0 / B) * global_x.T @ (global_x @ np.zeros((3, 1)) - global_y)
 np.testing.assert_allclose(np.asarray(jax.device_get(g)), g_ref,
                            rtol=1e-5, atol=1e-6)
-print(f"proc {pid}: ok grad[0,0]={float(g[0, 0]):.6f}", flush=True)
+
+# -- the real Engine over the multi-process mesh --------------------------
+# per-host data loading: every host builds the same synthetic split and
+# feeds ONLY its local_batch_slice rows; put_batch assembles the global
+# sharded batch, the jitted step runs SPMD across both processes.
+from audiodepth_tpu.configs import load_config  # noqa: E402
+from audiodepth_tpu.data.synthetic import SyntheticEchoDataset  # noqa: E402
+from audiodepth_tpu.models import make_task  # noqa: E402
+from audiodepth_tpu.train import Engine  # noqa: E402
+
+GB = 8  # global batch
+cfg = load_config(
+    "batvisionv2", "train", "mh", "coarse_depth",
+    overrides={
+        "model.model_type": "lite", "model.n_bins": 8,
+        "model.base_channels": 8, "dataset.images_size": 64,
+        "mode.batch_size": GB, "mode.compute_dtype": "float32",
+    },
+)
+ds = SyntheticEchoDataset(cfg, num_samples=GB, seed=0)
+full = next(ds.batches(GB, shuffle=False))
+from audiodepth_tpu.data.bins import add_bins_to_batch  # noqa: E402
+
+task = make_task(cfg)
+full = add_bins_to_batch(full, task.bin_edges, cfg.dataset.max_depth,
+                         cfg.dataset.depth_norm)
+eng = Engine(cfg, task, mesh=mesh)
+state = eng.init_state(jax.random.PRNGKey(0), full)
+hsl = local_batch_slice(GB)
+local_batch = {k: np.asarray(v)[hsl] for k, v in full.items()}
+losses = []
+for _ in range(2):
+    state, metrics = eng.train_step(state, local_batch)
+    losses.append(float(metrics["loss"]))
+assert all(np.isfinite(l) for l in losses), losses
+print(f"proc {pid}: ok grad[0,0]={float(g[0, 0]):.6f} "
+      f"engine losses={losses[0]:.5f},{losses[1]:.5f}", flush=True)

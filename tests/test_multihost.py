@@ -43,6 +43,10 @@ def test_two_process_ddp_grad():
                 q.kill()
             raise
         outs.append(out)
+    losses = []
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"proc {pid}: ok" in out, out
+        losses.append(out.split("engine losses=")[1].split()[0])
+    # replicated state + global batch ⇒ both hosts observe identical losses
+    assert losses[0] == losses[1], losses
