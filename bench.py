@@ -221,6 +221,10 @@ def main():
         btask = make_task(bcfg)
         beng = Engine(bcfg, btask)
         bstate = beng.init_state(jax.random.PRNGKey(0), braw)
+        # device-resident batch: measure the compute path, not the remote
+        # host tunnel (real training overlaps transfers via prefetch /
+        # uses the device cache — see RESULTS.md sustained run)
+        bbatch = beng.put_batch(bbatch)
         bstate, bm = beng.train_step(bstate, bbatch)
         _ = float(bm["loss"])
         t0 = time.perf_counter()
