@@ -61,6 +61,27 @@ def mfu(flops_per_step, step_time_s):
     return flops_per_step / step_time_s / peak
 
 
+def flash_attention_flops(cfg, bs):
+    """Useful FLOPs of the Pallas flash-attention calls per train step.
+
+    XLA's cost_analysis cannot see inside custom calls, so the binaural
+    step's attention FLOPs must be counted analytically: per stacked
+    direction (2 per pair), fwd = 2N²(dk+dv), bwd = 6N²dk + 4N²dv
+    (s recompute, dp, dv, and the transposed dq/dk matmuls).
+    """
+    c = cfg.model.base_channels
+    channel_map = {1: c, 2: 2 * c, 3: 4 * c, 4: 8 * c, 5: 8 * c}
+    total = 0
+    for lvl in cfg.model.attention_levels:
+        n = (cfg.dataset.images_size // 2 ** (lvl - 1)) ** 2
+        if n <= 256:
+            continue  # dispatched to the XLA twin; cost_analysis counts it
+        ch = channel_map[lvl]
+        dk, dv = ch // 8, ch
+        total += (8 * dk + 6 * dv) * n * n * 2 * bs
+    return total
+
+
 def bench_native_decode(tmpdir, n_samples=64, batch_size=64):
     """Timed end-to-end native C++ decode: wav + .npy depth → transport batch.
 
@@ -235,6 +256,9 @@ def main():
         bdt = (time.perf_counter() - t0) / bn
         bin_pairs = bin_bs / bdt
         bin_flops = step_flops(beng, bstate, bbatch)
+        if bin_flops:
+            # add the Pallas attention FLOPs XLA cannot see (custom calls)
+            bin_flops += flash_attention_flops(bcfg, bin_bs)
         bin_mfu = mfu(bin_flops, bdt)
         del bstate, beng
     except Exception as e:  # pragma: no cover - bench resilience
