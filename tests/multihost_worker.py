@@ -98,5 +98,37 @@ for _ in range(2):
     state, metrics = eng.train_step(state, local_batch)
     losses.append(float(metrics["loss"]))
 assert all(np.isfinite(l) for l in losses), losses
+
+# -- DP x SP attention across processes -----------------------------------
+# 2-D ('data','model') mesh spanning both hosts: the binaural family's
+# O(N²) cross-attention is sequence-parallel over 'model' while the batch
+# is data-parallel over 'data' — the same layout as dryrun_multichip's
+# layout 2, but with the mesh axes crossing a real process boundary.
+import dataclasses as _dc  # noqa: E402
+
+from audiodepth_tpu.train.tasks_extra import BinauralAttentionTask  # noqa: E402
+
+dp = (4 * nproc) // 2
+cfg2 = load_config(
+    "batvisionv2", "train", "mh_sp", "binaural_attention",
+    overrides={
+        "model.base_channels": 8, "dataset.images_size": 64,
+        "mode.batch_size": dp, "mode.compute_dtype": "float32",
+    },
+)
+mesh2 = make_global_mesh(("data", "model"), shape=(dp, 2))
+task2 = BinauralAttentionTask(cfg2)
+task2.model = _dc.replace(task2.model, sp_axis="model")
+ds2 = SyntheticEchoDataset(cfg2, num_samples=dp, seed=0)
+full2 = next(ds2.batches(dp, shuffle=False))
+eng2 = Engine(cfg2, task2, mesh=mesh2)
+state2 = eng2.init_state(jax.random.PRNGKey(0), full2)
+sl2 = local_batch_slice(dp)
+local2 = {k: np.asarray(v)[sl2] for k, v in full2.items()}
+state2, m2 = eng2.train_step(state2, local2)
+loss_sp = float(m2["loss"])
+assert np.isfinite(loss_sp), loss_sp
+
 print(f"proc {pid}: ok grad[0,0]={float(g[0, 0]):.6f} "
-      f"engine losses={losses[0]:.5f},{losses[1]:.5f}", flush=True)
+      f"engine losses={losses[0]:.5f},{losses[1]:.5f} "
+      f"sp loss={loss_sp:.5f}", flush=True)

@@ -37,7 +37,7 @@ def test_two_process_ddp_grad():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=480)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
