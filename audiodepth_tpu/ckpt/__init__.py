@@ -104,6 +104,32 @@ class CheckpointManager:
             aux = None
         return restored["state"], aux, epoch
 
+    def restore_eval(self, epoch=None):
+        """Restore (params, batch_stats, aux, epoch) without an optimizer.
+
+        Export/eval tools have no optimizer, so they cannot build the
+        opt_state template restore() needs. Here the FULL restore template
+        (including opt_state) is derived from the on-disk metadata, the
+        checkpoint is restored against it, and the opt_state is discarded.
+        Works on any real training checkpoint regardless of optimizer.
+        """
+        if epoch == "best":
+            epoch = self.best_epoch()
+            if epoch is None:
+                raise FileNotFoundError(f"no best.json under {self.directory}")
+        if epoch is None:
+            epoch = self._mgr.latest_step()
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        # template-free StandardRestore: structure comes from disk (a fresh
+        # manager in a different process has no item metadata to map)
+        restored = self._mgr.restore(epoch, args=ocp.args.StandardRestore())
+        state = restored["state"]
+        aux = restored.get("aux")
+        if aux is not None and set(aux) == set(_EMPTY_AUX):
+            aux = None
+        return state["params"], state.get("batch_stats"), aux, epoch
+
     def wait(self):
         self._mgr.wait_until_finished()
 

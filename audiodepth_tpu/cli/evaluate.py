@@ -38,6 +38,11 @@ def main(argv=None):
     p.add_argument("--use_best", action="store_true",
                    help="evaluate the best-validation checkpoint (best.json "
                         "written during training) instead of the latest")
+    p.add_argument("--torch_checkpoint", default=None,
+                   help="path to a reference PyTorch .pth checkpoint "
+                        "(checkpoint['state_dict'], test.py:120-203); weights "
+                        "are transplanted into the flax model via "
+                        "tools/import_torch.py")
     p.add_argument("--eval_img", action="store_true",
                    help="the checkpoint was trained on camera images "
                         "(--eval_img baseline): evaluate with image inputs")
@@ -103,6 +108,25 @@ def main(argv=None):
     sample = next(ds.batches(bs, shuffle=False, drop_last=False))
     state = eng.init_state(jax.random.PRNGKey(0), sample)
 
+    if args.torch_checkpoint:
+        from ..tools import import_torch as itorch
+
+        sd = itorch.load_torch_state_dict(args.torch_checkpoint)
+        variables = itorch.import_for_config(cfg, sd)
+        itorch.check_structure(
+            variables,
+            {"params": state.params, "batch_stats": state.batch_stats},
+        )
+        state = state.replace(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", state.batch_stats),
+        )
+        exp = (experiment_name(cfg) if args.experiment_name == "default"
+               else args.experiment_name)
+        epoch = "torch"
+        print(f"transplanted torch checkpoint {args.torch_checkpoint}")
+        return _run_eval(args, cfg, task, ds, eng, state, exp, epoch, bs)
+
     # checkpoint resolution (test.py:30-62): --checkpoint_path beats
     # experiment-name assembly; a trailing integer component is the epoch
     epoch_req = args.checkpoints
@@ -128,9 +152,15 @@ def main(argv=None):
         raise SystemExit(
             f"checkpoint not found under {mgr.directory}; available epochs: {avail}"
         )
+    return _run_eval(args, cfg, task, ds, eng, state, exp, epoch, bs)
+
+
+def _run_eval(args, cfg, task, ds, eng, state, exp, epoch, bs):
     print(f"evaluating {exp} @ epoch {epoch} on {args.eval_on}")
 
     from ..data.codec import decode_batch
+    from ..metrics import METRIC_NAMES
+    from ..obs import save_batch_visualization
 
     units = 1.0 if cfg.dataset.depth_norm else float(cfg.dataset.max_depth)
     per_sample = {k: [] for k in METRIC_NAMES + ("loss",)}

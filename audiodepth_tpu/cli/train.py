@@ -31,6 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--experiment_name", default="default")
     p.add_argument("--dataset_dir", default=None)
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--saving_checkpoints", type=int, default=None,
+                   help="checkpoint every N epochs (train.py:1005 cadence)")
     p.add_argument("--learning_rate", type=float, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--optimizer", default=None, choices=[None, "Adam", "AdamW", "SGD"])
@@ -114,6 +116,7 @@ def config_from_args(args):
     overrides = {}
     direct = {
         "mode.epochs": args.epochs,
+        "mode.saving_checkpoints": args.saving_checkpoints,
         "mode.learning_rate": args.learning_rate,
         "mode.batch_size": args.batch_size,
         "mode.optimizer": args.optimizer,
@@ -264,9 +267,14 @@ def main(argv=None):
     task = make_task(cfg)
     # data-parallel mesh: batch must divide evenly; use the largest device
     # count <= available that divides the global batch
-    n_dev = args.num_devices or jax.device_count()
+    n_dev_req = args.num_devices or jax.device_count()
+    n_dev = n_dev_req
     while n_dev > 1 and cfg.mode.batch_size % n_dev != 0:
         n_dev -= 1
+    if n_dev != n_dev_req:
+        print(f"WARNING: batch_size {cfg.mode.batch_size} does not divide "
+              f"{n_dev_req} devices; training on {n_dev} device(s). Pick a "
+              f"batch size divisible by the device count to use all chips.")
     mesh = make_mesh(n_dev) if n_dev > 1 else None
     steps_per_epoch = max(len(train_ds) // cfg.mode.batch_size, 1)
     eng = Engine(cfg, task, mesh=mesh, steps_per_epoch=steps_per_epoch)
@@ -371,10 +379,14 @@ def main(argv=None):
                 gt = gt.astype(_np.float32) * (units / 65535.0)
             if cfg.dataset.depth_norm:
                 gt = gt * cfg.dataset.max_depth
+            png = _os.path.join(vis_dir, f"val_epoch{epoch}.png")
             save_batch_visualization(
-                gt, pred_m, _os.path.join(vis_dir, f"val_epoch{epoch}.png"),
-                max_depth=cfg.dataset.max_depth,
+                gt, pred_m, png, max_depth=cfg.dataset.max_depth,
             )
+            # wandb image logging (train.py:861-871 wandb.Image parity);
+            # `logger` is assigned below, before fit() invokes this callback
+            if logger is not None:
+                logger.log_image("val/visualization", png, step=epoch)
 
     logger = MetricLogger(args.log_dir, exp, use_wandb=args.use_wandb,
                           config=to_dict(cfg))
@@ -388,7 +400,10 @@ def main(argv=None):
         with open(arch_path, "w") as f:
             f.write(f"experiment: {exp}\nconfig: {to_dict(cfg)}\n")
             f.write(f"model: {type(task.model).__name__}\n")
-            f.write(f"params: {count_params(state.params):,}\n")
+            f.write(f"params: {count_params(state.params):,}\n\n")
+            # full module tree (the reference writes the whole nn.Module
+            # repr to architecture.txt, train.py:576-597)
+            f.write(task.tabulate(sample))
     except Exception as e:
         print(f"[train] architecture dump skipped: {e}")
     best = BestTracker(args.best_metric)

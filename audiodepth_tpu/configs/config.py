@@ -79,7 +79,7 @@ class ModelConfig:
     attention_levels: Tuple[int, ...] = (2, 3, 4, 5)
     latent_dim: int = 128                   # cVAE
     kl_weight: float = 1e-4                 # cVAE
-    n_bins: int = 64                        # adabins / coarse
+    n_bins: int = 128                       # adabins / coarse (reference default, train_coarse_depth.py:143)
     bin_strategy: str = "sid"               # linear | log | sid
     model_type: str = "unet"                # coarse family: unet|lite|hybrid|dual_reg
     extra: Dict[str, Any] = field(default_factory=dict)
@@ -128,8 +128,8 @@ MODEL_PRESETS: Dict[str, ModelConfig] = {
     "base_residual": ModelConfig(name="base_residual"),
     "binaural_attention": ModelConfig(name="binaural_attention"),
     "rgb_depth": ModelConfig(name="rgb_depth", input_nc=3),
-    "adabins_distillation": ModelConfig(name="adabins_distillation", n_bins=64),
-    "coarse_depth": ModelConfig(name="coarse_depth", n_bins=64),
+    "adabins_distillation": ModelConfig(name="adabins_distillation", n_bins=128),
+    "coarse_depth": ModelConfig(name="coarse_depth", n_bins=128),
     # spline_depth exists in the reference only as dead config
     # (conf/model/spline_depth.yaml; no model code) — registered as a stub.
     "spline_depth": ModelConfig(name="spline_depth", generator="spline_depth"),

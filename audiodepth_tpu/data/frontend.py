@@ -46,18 +46,32 @@ def tof_cut_samples(max_depth: float, sample_rate: int) -> int:
     return int((2.0 * max_depth / SPEED_OF_SOUND) * sample_rate)
 
 
-def make_frontend(cfg: Config) -> Callable[[jnp.ndarray], jnp.ndarray]:
+def make_frontend(cfg: Config, mesh=None,
+                  frame_axis: str = "model",
+                  batch_axis: str = "data") -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build the jitted waveform → NHWC input op for a config.
 
     The returned fn maps [B, C, L] float waveforms to [B, S, S, C] inputs
     (S = cfg.dataset.images_size). For audio_format='waveform' it returns the
     (cut) waveform unchanged as [B, C, L'].
+
+    mesh: when given and it has `frame_axis`, the plain-STFT path runs
+    through parallel.sharded_stft (frame axis sharded over `frame_axis`
+    with a ppermute halo exchange, batch staying on `batch_axis`) — the
+    SURVEY §2.6 SP row for long time-of-flight waveform windows. The mel
+    path keeps local framing (its filterbank matmul immediately contracts
+    the frequency axis; sharding frames buys nothing there).
     """
     ds = cfg.dataset
     size = ds.images_size
     is_v1 = ds.name == "batvisionv1"
     fmt = ds.audio_format
     cut = None if is_v1 else tof_cut_samples(ds.max_depth, ds.sample_rate) if ds.max_depth else None
+    shard_frames = (
+        mesh is not None and frame_axis in mesh.axis_names
+        and mesh.shape[frame_axis] > 1 and "spectrogram" in fmt
+        and "mel" not in fmt
+    )
 
     @jax.jit
     def frontend(waveform: jnp.ndarray) -> jnp.ndarray:
@@ -70,6 +84,14 @@ def make_frontend(cfg: Config) -> Callable[[jnp.ndarray], jnp.ndarray]:
             spec = mel_spectrogram(
                 x, n_fft=512, win_length=64, n_mels=32,
                 sample_rate=ds.sample_rate, f_min=20.0, f_max=20000.0,
+            )
+        elif shard_frames:
+            from ..parallel.sharded_stft import sharded_magnitude_stft
+
+            spec = sharded_magnitude_stft(
+                x, mesh, axis=frame_axis, n_fft=512, win_length=64,
+                hop_length=16,
+                batch_axis=batch_axis if batch_axis in mesh.axis_names else None,
             )
         else:
             spec = magnitude_stft(x, n_fft=512, win_length=64, hop_length=16)

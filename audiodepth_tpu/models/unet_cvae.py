@@ -30,14 +30,20 @@ class VAEBottleneck(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, h: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(
+        self, h: jnp.ndarray, sample: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         b = h.shape[0]
         c = h.shape[-1]
         flat = h.reshape(b, -1).astype(jnp.float32)
         mu = nn.Dense(self.latent_dim, name="fc_mu")(flat)
         logvar = nn.Dense(self.latent_dim, name="fc_logvar")(flat)
-        eps = jax.random.normal(self.make_rng("latent"), mu.shape)
-        z = mu + eps * jnp.exp(0.5 * logvar)
+        if sample:
+            eps = jax.random.normal(self.make_rng("latent"), mu.shape)
+            z = mu + eps * jnp.exp(0.5 * logvar)
+        else:
+            # deterministic posterior mean (used for eval/parity)
+            z = mu
         recon = nn.Dense(flat.shape[-1], name="fc_dec")(z)
         kl = jnp.mean(-0.5 * jnp.sum(1.0 + logvar - mu ** 2 - jnp.exp(logvar), axis=1))
         return recon.reshape(h.shape).astype(h.dtype), kl
@@ -55,7 +61,9 @@ class UNetCVAE(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(
+        self, x, train: bool = True, sample: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         norm = lambda: make_norm(self.norm, train, self.dtype)
         use_bias = self.norm == "instance"
         widths = UNetGenerator.channel_plan(self)
@@ -73,7 +81,7 @@ class UNetCVAE(nn.Module):
                 skips.append(h)
 
         # VAE bottleneck on the 1x1 innermost feature
-        h, kl = VAEBottleneck(self.latent_dim, dtype=self.dtype)(h)
+        h, kl = VAEBottleneck(self.latent_dim, dtype=self.dtype)(h, sample=sample)
 
         # innermost up (no skip concat above the bottleneck)
         h = nn.relu(h)

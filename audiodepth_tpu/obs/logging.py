@@ -56,6 +56,19 @@ class MetricLogger:
         if self._wandb:
             self._wandb.log({k: v for k, v in record.items() if k != "step"}, step=step)
 
+    def log_image(self, tag: str, image_path: str,
+                  step: Optional[int] = None) -> None:
+        """wandb.Image logging of a saved visualization PNG
+        (train.py:861-871 parity). JSONL records the file path so offline
+        runs keep a pointer to the artifact."""
+        if self._jsonl:
+            self._jsonl.write(json.dumps({"step": step, tag: image_path}) + "\n")
+            self._jsonl.flush()
+        if self._wandb:
+            import wandb
+
+            self._wandb.log({tag: wandb.Image(image_path)}, step=step)
+
     def close(self):
         if self._jsonl:
             self._jsonl.close()

@@ -56,6 +56,11 @@ DEFAULT_BLOCK = 1024
 # CPU, so the kernel math (not just the XLA twin) is pinned in CI.
 INTERPRET = False
 
+# Sequences with N and M both ≤ this go to the XLA twin even on TPU (grid
+# launch overhead dominates the tiny N² there — see cross_attention).
+# bench.py keys its analytic FLOP count off the same constant.
+XLA_DISPATCH_MAX_N = 256
+
 
 def _pick_block(n: int, dv: int = 128) -> int:
     # dv=512 @ block 1024 blows the 16 MB scoped-VMEM stack in the merged
@@ -70,7 +75,15 @@ def _pick_block(n: int, dv: int = 128) -> int:
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale):
+# softmax runs in the log2 domain: scale·log2(e) is folded into q OUTSIDE
+# the kernel (one [B,N,dk] pass instead of an [bq,bk] VPU pass per block
+# pair) and exp2 replaces exp (cheaper VPU transcendental). Measured on the
+# level-2 shape: 161.7 → 150.8 ms fwd (-6.7%); output err vs the natural-
+# domain kernel ≤ 2.4e-4 (bf16 q-scaling rounding, inside bf16 epsilon).
+LOG2E = 1.4426950408889634
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr):
     from jax.experimental import pallas as pl
 
     k_idx = pl.program_id(2)
@@ -83,19 +96,20 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, s
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     # matmuls at native input precision (bf16 on the MXU in production)
-    # with fp32 accumulation; softmax statistics stay fp32
+    # with fp32 accumulation; softmax statistics stay fp32.
+    # q arrives pre-scaled by scale*log2e, so s is already in log2 domain.
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    )
 
     m_prev = m_scr[:]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
     l_new = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32
@@ -106,7 +120,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, s
     @pl.when(k_idx == nk - 1)
     def _finalize():
         o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
-        lse_ref[0] = m_scr[:] + jnp.log(l_scr[:])
+        # convert back to the natural-log domain for the bwd interface
+        lse_ref[0] = (m_scr[:] + jnp.log2(l_scr[:])) * (1.0 / LOG2E)
 
 
 # ---------------------------------------------------------------------------
@@ -114,22 +129,25 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, s
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
-                dqt_ref, dkt_ref, dv_ref, dqt_scr, dkt_scr, dv_scr,
+                dqt_ref, dkt_ref, dv_ref, dkt_scr, dv_scr,
                 *, scale, block_q):
     """Merged backward: grid (b, k-block, q-block), q innermost.
 
     Recomputes s and dp ONCE per block pair and produces all three grads:
     dkᵀ/dv accumulate in small VMEM scratch over the consecutive q sweep
     (written out at the sweep's end, the standard pattern); dq accumulates
-    TRANSPOSED ([dk, N]) in a persistent VMEM scratch that survives the
-    whole per-batch sweep. BOTH dq and dk are produced transposed, as
-    q16ᵀ·ds-shaped matmuls over the lane-SLICED (un-padded) head dim:
+    TRANSPOSED ([dk, N]) DIRECTLY IN ITS OUTPUT BLOCK — the dqt out_spec
+    maps every (kk, i) step of a batch to the one full-[dk_sub, N] block,
+    so the buffer lives in VMEM for the whole per-batch sweep and is
+    flushed to HBM exactly once, at the batch boundary (consecutive-revisit
+    semantics only; no reliance on out-of-order flush ordering, no
+    redundant per-sweep writes). BOTH dq and dk are produced transposed,
+    as q16ᵀ·ds-shaped matmuls over the lane-SLICED (un-padded) head dim:
     the [dk_sub, block] output streams only dk_sub≈16 MXU rows instead of
     a 128-lane padded output tile, cutting those two matmuls ~8x, and the
     [dk, N] accumulator rides the sublane axis so it is 8x smaller in
-    VMEM — which is what lets the full-N dq accumulator coexist with
-    1024-wide blocks. No out-of-order HBM output revisits are needed
-    (Pallas TPU only defines consecutive ones).
+    VMEM — which is what lets the full-N dq buffer coexist with
+    1024-wide blocks.
     """
     from jax.experimental import pallas as pl
 
@@ -143,18 +161,20 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
         dkt_scr[:] = jnp.zeros_like(dkt_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    dk_sub = dqt_scr.shape[0]
+    dk_sub = dqt_ref.shape[1]
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0].astype(jnp.float32)
+    lse2 = lse_ref[0].astype(jnp.float32)   # pre-multiplied by log2e outside
     dsum = dsum_ref[0].astype(jnp.float32)
 
+    # q arrives pre-scaled by scale*log2e: s is in the log2 domain and the
+    # probability rematerialization is one exp2 with no per-block scale pass
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    p = jnp.exp(s - lse)                                   # [bq, bk]
+    )
+    p = jnp.exp2(s - lse2)                                 # [bq, bk]
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -163,10 +183,12 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )                                                      # [bq, bk]
     ds = p * (dp - dsum)
+    # q is pre-scaled by scale*log2e and dk wants q·scale: divide log2e out
+    # at the cheap [dk, bk] accumulator instead of an [bq, bk] pass
     dkt_scr[:] = dkt_scr[:] + jax.lax.dot_general(
         q[:, :dk_sub], ds.astype(q.dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale                                              # q16ᵀ·ds [dk, bk]
+    ) * (1.0 / LOG2E)                                      # q16ᵀ·ds [dk, bk]
 
     dqt_part = jax.lax.dot_general(
         k[:, :dk_sub], ds.astype(k.dtype), (((0,), (1,)), ((), ())),
@@ -177,15 +199,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
 
     @pl.when(k_idx == 0)
     def _dq_first():
-        dqt_scr[:, cols] = dqt_part
+        dqt_ref[0, :, cols] = dqt_part
 
     @pl.when(k_idx != 0)
     def _dq_accum():
-        dqt_scr[:, cols] = dqt_scr[:, cols] + dqt_part
-
-    @pl.when(k_idx == nk - 1)
-    def _dq_out():
-        dqt_ref[0] = dqt_scr[:, cols]
+        dqt_ref[0, :, cols] = dqt_ref[0, :, cols] + dqt_part
 
     @pl.when(q_idx == nq - 1)
     def _finalize():
@@ -215,11 +233,14 @@ def _flash_fwd(q, k, v, scale, block_q=DEFAULT_BLOCK, block_k=DEFAULT_BLOCK,
     m = k.shape[1]
     dv = v.shape[-1]
     assert n % block_q == 0 and m % block_k == 0, (n, m, block_q, block_k)
-    qp, kp = _pad_lanes(q), _pad_lanes(k)
+    # fold scale + the log2-domain conversion into q: one [B,N,dk] pass
+    # here instead of an [bq,bk] VPU pass per block pair in the kernel
+    qp = _pad_lanes((q * (scale * LOG2E)).astype(q.dtype))
+    kp = _pad_lanes(k)
     dk = qp.shape[-1]
 
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale),
+        _fwd_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((b, n, dv), v.dtype),
             jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
@@ -254,10 +275,12 @@ def _flash_bwd(q, k, v, o, lse, do, scale, block_q=DEFAULT_BLOCK,
     b, n, dk_orig = q.shape
     m = k.shape[1]
     dv = v.shape[-1]
-    qp, kp = _pad_lanes(q), _pad_lanes(k)
+    qp = _pad_lanes((q * (scale * LOG2E)).astype(q.dtype))
+    kp = _pad_lanes(k)
     dk = qp.shape[-1]
     dsum = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
                    keepdims=True)  # [B, N, 1]
+    lse2 = lse * LOG2E  # log2-domain statistics to match the pre-scaled q
 
     # dq accumulates transposed: dk on the (8-)sublane axis instead of a
     # 128-padded lane axis → the full-N accumulator is ~dk_sub/16 KB per
@@ -281,17 +304,19 @@ def _flash_bwd(q, k, v, o, lse, do, scale, block_q=DEFAULT_BLOCK,
             pl.BlockSpec((1, block_q, 1), lambda bi, kk, i: (bi, i, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, dk_sub, block_q), lambda bi, kk, i: (bi, 0, i)),
+            # dqt: ONE full-[dk_sub, n] block per batch element — every
+            # (kk, i) step maps to the same block, so it accumulates in
+            # VMEM and flushes to HBM once at the batch boundary
+            pl.BlockSpec((1, dk_sub, n), lambda bi, kk, i: (bi, 0, 0)),
             pl.BlockSpec((1, dk_sub, block_k), lambda bi, kk, i: (bi, 0, kk)),
             pl.BlockSpec((1, block_k, dv), lambda bi, kk, i: (bi, kk, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((dk_sub, n), jnp.float32),
             pltpu.VMEM((dk_sub, block_k), jnp.float32),
             pltpu.VMEM((block_k, dv), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, kp, v, do, lse, dsum)
+    )(qp, kp, v, do, lse2, dsum)
 
     dq = jnp.swapaxes(dqt, 1, 2)[..., :dk_orig]
     dk_out = jnp.swapaxes(dkt, 1, 2)[..., :dk_orig]
@@ -339,7 +364,7 @@ def cross_attention(q, k, v, scale: float, block_q: int = DEFAULT_BLOCK):
     n, m = q.shape[1], k.shape[1]
     on_tpu = jax.default_backend() == "tpu"
     dv = v.shape[-1]
-    big = n > 256 or m > 256
+    big = n > XLA_DISPATCH_MAX_N or m > XLA_DISPATCH_MAX_N
     if (on_tpu and big
             and n % _pick_block(n, dv) == 0 and m % _pick_block(m, dv) == 0):
         return flash_cross_attention(q, k, v, scale)

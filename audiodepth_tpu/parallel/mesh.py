@@ -64,10 +64,37 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def pad_batch_to(batch: Any, target_rows: int) -> Any:
+    """Pad every array's leading dim to target_rows; add a _valid row mask.
+
+    Ragged eval tails (drop_last=False) become shardable batches: pad rows
+    repeat row 0 (so decode/forward see well-formed data) and carry
+    _valid=0, which Engine.eval_step uses to zero their metrics and
+    Engine.evaluate to divide by the true sample count.
+    """
+    rows = next(iter(batch.values())).shape[0]
+    pad = target_rows - rows
+    if pad < 0:
+        raise ValueError(f"batch of {rows} rows exceeds target {target_rows}")
+    valid = np.concatenate(
+        [np.ones(rows, np.float32), np.zeros(pad, np.float32)])
+    if pad:
+        def _pad(x):
+            x = np.asarray(x)
+            fill = np.broadcast_to(x[:1], (pad,) + x.shape[1:])
+            return np.concatenate([x, fill], axis=0)
+
+        batch = {k: _pad(v) for k, v in batch.items()}
+    else:
+        batch = dict(batch)
+    batch["_valid"] = valid
+    return batch
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
     """Replicate a pytree over the whole mesh (all hosts must pass equal
     values — true for params/optimizer state initialized from the same
-    seed and for ragged eval tails read identically on every host)."""
+    seed)."""
     sh = replicated(mesh)
     if jax.process_count() > 1:
         def put(x):

@@ -28,11 +28,16 @@ def sharded_magnitude_stft(
     n_fft: int = 512,
     win_length: int = 64,
     hop_length: int = 16,
+    batch_axis: str = None,
 ) -> jnp.ndarray:
     """Magnitude STFT of [..., L] with the frame axis sharded over `axis`.
 
     Each shard computes T/n frames; boundary frames read (win − hop) halo
     samples ppermute'd from the right neighbor.
+
+    batch_axis: optional mesh axis the LEADING dim stays sharded over — the
+    production DP×SP layout (batch over 'data', frames over 'model');
+    without it the batch is replicated across the mesh.
     """
     from jax import shard_map
 
@@ -62,9 +67,10 @@ def sharded_magnitude_stft(
     starts = np.arange(t_per) * hop_length
     idx = jnp.asarray(starts[:, None] + np.arange(win_length)[None, :])
 
-    spec_in = P(*([None] * (waveform.ndim - 1) + [axis]))
-    spec_rep = P()
-    spec_out = P(*([None] * (waveform.ndim - 1) + [None, axis]))
+    lead = [batch_axis] + [None] * (waveform.ndim - 2)
+    spec_in = P(*(lead + [axis]))
+    spec_rep = P(*(lead + [None])) if batch_axis else P()
+    spec_out = P(*(lead + [None, axis]))
 
     def local(chunk, tail_rep):
         # chunk: [..., lc] (this shard); fetch right neighbor's first `halo`

@@ -61,33 +61,46 @@ def main(argv=None):
     p.add_argument("--out", default="./export/inference.stablehlo")
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--experiment_name", default=None)
+    # model hyperparameters must match the checkpoint being exported
+    p.add_argument("--generator", default=None, choices=[None, "unet_256", "unet_128"])
+    p.add_argument("--ngf", type=int, default=None)
+    p.add_argument("--base_channels", type=int, default=None)
+    p.add_argument("--n_bins", type=int, default=None)
+    p.add_argument("--model_type", default=None)
     args = p.parse_args(argv)
 
     from ..configs import load_config
     from ..data.synthetic import SyntheticEchoDataset
     from ..models import make_task
 
-    cfg = load_config(args.dataset, "test", "export", args.model)
+    overrides = {}
+    for key, val in {
+        "model.generator": args.generator,
+        "model.ngf": args.ngf,
+        "model.base_channels": args.base_channels,
+        "model.n_bins": args.n_bins,
+        "model.model_type": args.model_type,
+    }.items():
+        if val is not None:
+            overrides[key] = val
+    cfg = load_config(args.dataset, "test", "export", args.model,
+                      overrides=overrides)
     task = make_task(cfg)
     ds = SyntheticEchoDataset(cfg, num_samples=1)
     batch = next(ds.batches(1, shuffle=False))
     variables = task.init(jax.random.PRNGKey(0), batch)
     if args.ckpt_dir and args.experiment_name:
         from ..ckpt import CheckpointManager
-        from ..train.engine import TrainState
 
-        # load trained params into the export
+        # load trained params into the export: restore_eval builds the full
+        # template (incl. opt_state) from on-disk metadata and discards the
+        # optimizer, so any real training checkpoint loads here
         mgr = CheckpointManager(args.ckpt_dir, args.experiment_name)
-        template = TrainState(
-            step=jnp.zeros((), jnp.int32),
-            params=variables["params"],
-            batch_stats=variables.get("batch_stats"),
-            opt_state=None,
-        )
-        # note: opt_state template None only works if saved as None; for
-        # robust loading use the train CLI's resume path instead
-        state, _, _ = mgr.restore(template)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        params, batch_stats, _aux, epoch = mgr.restore_eval()
+        print(f"restored epoch {epoch} from {mgr.directory}")
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
 
     _, path = export_inference(cfg, task, variables, args.batch_size, args.out)
     print(f"exported fused inference graph → {path}")

@@ -20,7 +20,7 @@ import numpy as np
 from flax import struct
 
 from ..configs import Config
-from ..parallel.mesh import replicate, shard_batch
+from ..parallel.mesh import pad_batch_to, replicate, shard_batch
 from .optim import make_optimizer
 from .tasks import Task
 
@@ -43,6 +43,10 @@ class Engine:
         self.cfg = cfg
         self.task = task
         self.mesh = mesh
+        if (mesh is not None and "model" in mesh.axis_names
+                and mesh.shape["model"] > 1 and hasattr(task, "attach_mesh")):
+            # sequence-parallel layouts: frame-sharded STFT front end
+            task.attach_mesh(mesh)
         self.tx = make_optimizer(cfg.mode, steps_per_epoch)
         from .optim import make_schedule
 
@@ -59,6 +63,11 @@ class Engine:
         from ..data.codec import decode_batch
 
         def train_step(state: TrainState, batch, epoch):
+            if "_valid" in batch:
+                raise ValueError(
+                    "padded batches (_valid mask) are eval-only; train "
+                    "loaders must produce shardable batches (drop_last)"
+                )
             batch = decode_batch(batch, self._depth_units)
             rng = jax.random.fold_in(jax.random.PRNGKey(cfg.mode.seed), state.step)
             grad_fn = jax.value_and_grad(task.loss_fn, has_aux=True)
@@ -94,8 +103,19 @@ class Engine:
             )
 
         def eval_step(state: TrainState, batch):
+            # ragged tails arrive padded to a shardable size with a _valid
+            # row mask (put_batch / multihost.local_shard); metrics from
+            # pad rows are zeroed and the mask is returned so evaluate()
+            # divides by the true sample count
+            batch = dict(batch)
+            valid = batch.pop("_valid", None)
             batch = decode_batch(batch, self._depth_units)
-            return task.eval_metrics(state.params, state.batch_stats, batch)
+            out = task.eval_metrics(state.params, state.batch_stats, batch)
+            if valid is not None:
+                valid = valid.astype(jnp.float32)
+                out = {k: v * valid for k, v in out.items()}
+                out["_valid"] = valid
+            return out
 
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
@@ -123,21 +143,29 @@ class Engine:
         # already device-resident (e.g. from data.prefetch): pass through
         if all(isinstance(v, jax.Array) for v in batch.values()):
             return batch
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if self.mesh is not None:
+            # ONE batch convention: the incoming dict always holds this
+            # host's LOCAL rows of the global batch (single-process: the
+            # whole batch). Ragged eval tails are padded to a shardable
+            # size with a _valid row mask instead of replicated — the
+            # round-2 dual convention (shard-or-replicate by divisibility)
+            # was ambiguous and host-divergent for multi-process tails.
             axis_size = self.mesh.shape[self.cfg.mode.data_axis]
-            # multi-process: each host feeds its local slice; the global
-            # batch is nproc x the local rows (parallel/mesh.shard_batch)
-            b = next(iter(batch.values())).shape[0] * jax.process_count()
-            if b % axis_size == 0:
-                batch = shard_batch(batch, self.mesh, self.cfg.mode.data_axis)
-            else:
-                # ragged eval tail (drop_last=False) smaller than the data
-                # axis: replicate instead of sharding — correctness over
-                # speed for the odd last batch (multi-process hosts must
-                # then read the tail identically)
-                batch = replicate(batch, self.mesh)
-        return batch
+            local_b = next(iter(batch.values())).shape[0]
+            if (local_b * jax.process_count()) % axis_size != 0:
+                if jax.process_count() > 1:
+                    raise ValueError(
+                        f"local batch of {local_b} rows x "
+                        f"{jax.process_count()} processes does not divide "
+                        f"the '{self.cfg.mode.data_axis}' axis "
+                        f"({axis_size}); slice ragged eval batches with "
+                        f"parallel.multihost.local_shard so every host "
+                        f"pads identically"
+                    )
+                batch = pad_batch_to(batch, -(-local_b // axis_size) * axis_size)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            return shard_batch(batch, self.mesh, self.cfg.mode.data_axis)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def _mesh_ctx(self):
         # sharding constraints inside models (e.g. sequence-parallel
@@ -261,15 +289,18 @@ class Engine:
 
     # ------------------------------------------------------------------
     def evaluate(self, state, batches: Iterable) -> Dict[str, float]:
-        """Mean per-sample metrics over an eval split."""
+        """Mean per-sample metrics over an eval split (pad rows excluded)."""
         sums: Dict[str, float] = {}
-        count = 0
+        count = 0.0
         for batch in batches:
-            out = self.eval_step(state, batch)
-            b = int(next(iter(out.values())).shape[0])
+            out = dict(self.eval_step(state, batch))
+            valid = out.pop("_valid", None)
+            if valid is not None:
+                count += float(jnp.sum(valid))
+            else:
+                count += int(next(iter(out.values())).shape[0])
             for k, v in out.items():
                 sums[k] = sums.get(k, 0.0) + float(jnp.sum(v))
-            count += b
         if count == 0:
             return {}
         return {k: v / count for k, v in sums.items()}

@@ -45,6 +45,12 @@ class Task:
         self._frontend = make_frontend(cfg)
         self.model = None  # set by subclass
 
+    def attach_mesh(self, mesh) -> None:
+        """Rebuild the front end mesh-aware (Engine calls this when its
+        mesh has a 'model' axis): plain-STFT waveforms then run through the
+        halo-exchange sharded STFT (parallel/sharded_stft.py)."""
+        self._frontend = make_frontend(self.cfg, mesh=mesh)
+
     # -- input ---------------------------------------------------------
     def prepare(self, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         if "input" in batch:
@@ -72,6 +78,14 @@ class Task:
     def init(self, rng: jax.Array, batch: Dict[str, jnp.ndarray]) -> Dict[str, Any]:
         x = self.prepare(batch)
         return self.model.init({"params": rng, "dropout": rng}, x, train=False)
+
+    def tabulate(self, batch: Dict[str, jnp.ndarray]) -> str:
+        """Full module tree table (architecture.txt parity, train.py:576-597)."""
+        rng = jax.random.PRNGKey(0)
+        return self.model.tabulate(
+            {"params": rng, "dropout": rng}, self.prepare(batch), train=False,
+            console_kwargs={"width": 160},
+        )
 
     def apply_train(self, params, batch_stats, x, rng):
         variables = {"params": params}

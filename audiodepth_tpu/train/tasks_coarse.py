@@ -96,6 +96,15 @@ class CoarseDepthTask(Task):
         args = (x,) if self.model_type == "dual_reg" else (x, self.bin_centers)
         return self.model.init({"params": rng, "dropout": rng}, *args, train=False)
 
+    def tabulate(self, batch):
+        import jax as _jax
+
+        x = self.prepare(batch)
+        args = (x,) if self.model_type == "dual_reg" else (x, self.bin_centers)
+        rng = _jax.random.PRNGKey(0)
+        return self.model.tabulate({"params": rng, "dropout": rng}, *args,
+                                   train=False, console_kwargs={"width": 160})
+
     def loss_fn(self, params, batch_stats, batch, rng, epoch):
         x = self.prepare(batch)
         out, new_stats = self._apply(params, batch_stats, x, train=True, rng=rng)

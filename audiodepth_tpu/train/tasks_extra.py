@@ -190,6 +190,15 @@ class UNetCVAETask(Task):
             {"params": rng, "dropout": rng, "latent": rng}, x, train=False
         )
 
+    def tabulate(self, batch):
+        import jax as _jax
+
+        rng = _jax.random.PRNGKey(0)
+        return self.model.tabulate(
+            {"params": rng, "dropout": rng, "latent": rng}, self.prepare(batch),
+            train=False, console_kwargs={"width": 160},
+        )
+
     def apply_train(self, params, batch_stats, x, rng):
         variables = {"params": params}
         mutable = []
@@ -257,6 +266,18 @@ class AdaBinsDistillationTask(Task):
         return self.model.init(
             {"params": rng, "dropout": rng}, audio, rgb, train=False,
             mode="train" if rgb is not None else "inference",
+        )
+
+    def tabulate(self, batch):
+        import jax as _jax
+
+        audio = super().prepare(batch)
+        rgb = batch.get("image")
+        rng = _jax.random.PRNGKey(0)
+        return self.model.tabulate(
+            {"params": rng, "dropout": rng}, audio, rgb, train=False,
+            mode="train" if rgb is not None else "inference",
+            console_kwargs={"width": 160},
         )
 
     def loss_fn(self, params, batch_stats, batch, rng, epoch):

@@ -69,15 +69,18 @@ def flash_attention_flops(cfg, bs):
     direction (2 per pair), fwd = 2N²(dk+dv), bwd = 6N²dk + 4N²dv
     (s recompute, dp, dv, and the transposed dq/dk matmuls).
     """
-    c = cfg.model.base_channels
-    channel_map = {1: c, 2: 2 * c, 3: 4 * c, 4: 8 * c, 5: 8 * c}
+    from audiodepth_tpu.models.binaural_attention import (
+        ATTENTION_REDUCTION, level_channels)
+    from audiodepth_tpu.ops.pallas.flash_attention import XLA_DISPATCH_MAX_N
+
+    channel_map = level_channels(cfg.model.base_channels)
     total = 0
     for lvl in cfg.model.attention_levels:
         n = (cfg.dataset.images_size // 2 ** (lvl - 1)) ** 2
-        if n <= 256:
+        if n <= XLA_DISPATCH_MAX_N:
             continue  # dispatched to the XLA twin; cost_analysis counts it
         ch = channel_map[lvl]
-        dk, dv = ch // 8, ch
+        dk, dv = ch // ATTENTION_REDUCTION, ch
         total += (8 * dk + 6 * dv) * n * n * 2 * bs
     return total
 

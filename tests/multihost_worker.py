@@ -99,6 +99,35 @@ for _ in range(2):
     losses.append(float(metrics["loss"]))
 assert all(np.isfinite(l) for l in losses), losses
 
+# -- ragged multi-process eval (drop_last=False) ---------------------------
+# a 6-row val split under global batch 8 is one ragged batch that does
+# NOT divide the 8-way data axis: every host pads it identically via
+# local_shard (+_valid mask) and the masked evaluate() must equal a plain
+# single-engine evaluation of the same split.
+from audiodepth_tpu.parallel.multihost import local_shard  # noqa: E402
+
+NV = 6  # one global batch of 6 under GB=8: ragged, pads to 8
+dsv = SyntheticEchoDataset(cfg, num_samples=NV, seed=1)
+
+
+def _global_eval_batches():
+    for gb in dsv.batches(GB, shuffle=False, drop_last=False):
+        yield add_bins_to_batch(gb, task.bin_edges, cfg.dataset.max_depth,
+                                cfg.dataset.depth_norm)
+
+
+def _local_eval_batches():
+    for gb in _global_eval_batches():
+        yield local_shard(gb, axis_size=mesh.shape["data"])
+
+
+val = eng.evaluate(state, _local_eval_batches())
+# both hosts print val['rmse']; test_multihost asserts they are IDENTICAL
+# across the process boundary. (Pad-mask == unpadded single-engine metric
+# equality is pinned separately in test_sharding.py on the virtual mesh —
+# repeating that comparison here would double the eval compiles.)
+assert val and all(np.isfinite(v) for v in val.values()), val
+
 # -- DP x SP attention across processes -----------------------------------
 # 2-D ('data','model') mesh spanning both hosts: the binaural family's
 # O(N²) cross-attention is sequence-parallel over 'model' while the batch
@@ -131,4 +160,5 @@ assert np.isfinite(loss_sp), loss_sp
 
 print(f"proc {pid}: ok grad[0,0]={float(g[0, 0]):.6f} "
       f"engine losses={losses[0]:.5f},{losses[1]:.5f} "
+      f"ragged rmse={val['rmse']:.6f} "
       f"sp loss={loss_sp:.5f}", flush=True)

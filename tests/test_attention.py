@@ -128,3 +128,22 @@ def test_dispatcher_falls_back_on_cpu():
     v = jnp.ones((1, 256, 16))
     out = cross_attention(q, k, v, 0.125)
     np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-6)
+
+
+def test_flash_bwd_many_k_sweeps_interpret():
+    """dqt accumulates in its full-N output block across ≥4 k-sweeps
+    (pins the one-flush-per-batch out_spec design; nk > 2 so the
+    accumulate branch runs repeatedly)."""
+    q, k, v = _rand_qkv(21, n=128, m=256)
+    scale = 1.0 / 4.0
+    out, lse = fa._flash_fwd(q, k, v, scale, block_q=32, block_k=64,
+                             interpret=True)
+    rng = np.random.default_rng(22)
+    do = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
+    dq, dk, dv = fa._flash_bwd(q, k, v, out, lse, do, scale,
+                               block_q=32, block_k=64, interpret=True)
+    _, vjp = jax.vjp(lambda q_, k_, v_: naive_attention(q_, k_, v_, scale),
+                     q, k, v)
+    for got, ref in zip((dq, dk, dv), vjp(do)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-3, atol=1e-4)

@@ -93,3 +93,15 @@ def test_distillation_panel(tmp_path):
     p = save_distillation_panel(gt, pred, pred, centers, centers,
                                 str(tmp_path / "dist.png"))
     assert os.path.getsize(p) > 1000
+
+
+def test_log_image_records_path(tmp_path):
+    """log_image (wandb.Image parity, train.py:861-871) records the PNG
+    path in the JSONL stream when wandb is offline/absent."""
+    lg = MetricLogger(str(tmp_path), "imglog")
+    png = tmp_path / "vis.png"
+    png.write_bytes(b"\x89PNG")
+    lg.log_image("val/visualization", str(png), step=3)
+    lg.close()
+    text = next(tmp_path.glob("*.jsonl")).read_text()
+    assert "val/visualization" in text and "vis.png" in text

@@ -290,3 +290,26 @@ def test_family_knob_flags():
     task4 = make_task(config_from_args(args4))
     assert task4.temperature == 2.0
     assert task4.adaptive is True
+
+
+def test_architecture_dump_and_device_warning(tmp_path, capsys):
+    """The architecture dump contains the full nn.tabulate module tree, and
+    a batch size that does not divide the requested device count prints a
+    visible shrink warning instead of silently training on fewer chips."""
+    train_main([
+        "--dataset", "synthetic", "--model", "unet_baseline",
+        "--experiment_name", "archdump",
+        "--generator", "unet_128", "--ngf", "4",
+        "--epochs", "1", "--batch_size", "5", "--num_samples", "5",
+        "--num_devices", "2",  # 5 % 2 != 0 → shrink to 1 with a warning
+        "--compute_dtype", "float32",
+        "--ckpt_dir", str(tmp_path / "ck"), "--log_dir", str(tmp_path / "lg"),
+        "--no_visualize",
+    ])
+    out = capsys.readouterr().out
+    assert "WARNING" in out and "does not divide" in out
+    arch = next((tmp_path / "lg").glob("*architecture.txt")).read_text()
+    # full module tree, not just a param count: per-module rows present
+    assert "UNetGenerator" in arch
+    assert "ConvDown" in arch and "ConvUp" in arch
+    assert "params:" in arch

@@ -55,3 +55,54 @@ def test_export_binaural_roundtrip(tmp_path):
                         jnp.asarray(batch["waveform"]))
     assert got.shape == (1, 64, 64, 1)
     assert float(jnp.max(got)) <= 30.0 and float(jnp.min(got)) >= 0.0
+
+
+def test_export_from_trained_checkpoint(tmp_path):
+    """Train 1 epoch via the CLI, export via --ckpt_dir (restore_eval builds
+    the opt_state template from checkpoint metadata), execute the
+    deserialized graph, and compare against predict_meters on the restored
+    params — the full deployment path over a REAL training checkpoint."""
+    from audiodepth_tpu.cli.train import main as train_main
+
+    ck = str(tmp_path / "ck")
+    train_main([
+        "--dataset", "synthetic", "--model", "unet_baseline",
+        "--experiment_name", "exptrained",
+        "--generator", "unet_128", "--ngf", "4",
+        "--epochs", "1", "--batch_size", "4", "--num_samples", "4",
+        "--compute_dtype", "float32", "--saving_checkpoints", "1",
+        "--ckpt_dir", ck, "--log_dir", str(tmp_path / "lg"),
+        "--no_visualize",
+    ])
+    import os
+
+    exp = os.listdir(ck)[0]
+
+    from audiodepth_tpu.ckpt import CheckpointManager
+    from audiodepth_tpu.tools.export import main as export_main
+
+    out = str(tmp_path / "trained.stablehlo")
+    export_main([
+        "--dataset", "batvisionv2", "--model", "unet_baseline",
+        "--generator", "unet_128", "--ngf", "4",
+        "--out", out, "--ckpt_dir", ck, "--experiment_name", exp,
+    ])
+
+    # the graph must compute exactly what predict_meters computes on the
+    # RESTORED (trained) params — not on a fresh init
+    cfg = load_config("batvisionv2", "test", "exp2", "unet_baseline", overrides={
+        "model.generator": "unet_128", "model.ngf": 4,
+    })
+    task = make_task(cfg)
+    params, batch_stats, _aux, _epoch = CheckpointManager(ck, exp).restore_eval()
+    ds = SyntheticEchoDataset(cfg, num_samples=1)
+    batch = next(ds.batches(1, shuffle=False))
+    from jax import export as jexport
+
+    reloaded = jexport.deserialize(bytearray(open(out, "rb").read()))
+    wave = jnp.asarray(batch["waveform"])
+    got = reloaded.call(params, batch_stats, wave)
+    want = build_inference_fn(cfg, task)(params, batch_stats, wave)
+    # fp32 fusion-order noise between the exported graph and the live jit
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=5e-5)

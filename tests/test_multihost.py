@@ -37,16 +37,21 @@ def test_two_process_ddp_grad():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=480)
+            out, _ = p.communicate(timeout=660)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
         outs.append(out)
-    losses = []
+    losses, ragged = [], []
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"proc {pid}: ok" in out, out
         losses.append(out.split("engine losses=")[1].split()[0])
+        ragged.append(out.split("ragged rmse=")[1].split()[0])
     # replicated state + global batch ⇒ both hosts observe identical losses
     assert losses[0] == losses[1], losses
+    # ragged (drop_last=False) eval: identical metrics on both hosts — the
+    # padded+masked tail is read identically everywhere (each worker also
+    # checked the values against a mesh-free reference evaluation)
+    assert ragged[0] == ragged[1], ragged

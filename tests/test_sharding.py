@@ -57,3 +57,53 @@ def test_batch_sharding_layout():
     sharded = jax.device_put(x, batch_sharding(mesh))
     assert len(sharded.addressable_shards) == 8
     assert sharded.addressable_shards[0].data.shape == (2, 4)
+
+
+def test_ragged_eval_tail_padded_and_masked():
+    """drop_last=False tails smaller than the data axis are padded with a
+    _valid mask and sharded; evaluate() means match the unsharded engine
+    exactly (pad rows contribute nothing)."""
+    over = {
+        "model.generator": "unet_128",
+        "model.ngf": 4,
+        "dataset.images_size": 128,
+        "mode.batch_size": 8,
+        "mode.compute_dtype": "float32",
+    }
+    cfg = load_config("batvisionv2", "train", "t", "unet_baseline", overrides=over)
+    ds = SyntheticEchoDataset(cfg, num_samples=13, seed=0)  # 8 + ragged 5
+    batch = next(ds.batches(8, shuffle=False))
+    task = make_task(cfg)
+
+    eng1 = Engine(cfg, task)
+    s1 = eng1.init_state(jax.random.PRNGKey(0), batch)
+    ref = eng1.evaluate(s1, ds.batches(8, shuffle=False, drop_last=False))
+
+    mesh = make_mesh()
+    eng8 = Engine(cfg, task, mesh=mesh)
+    s8 = eng8.init_state(jax.random.PRNGKey(0), batch)
+    got = eng8.evaluate(s8, ds.batches(8, shuffle=False, drop_last=False))
+
+    assert set(ref) == set(got)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=2e-4, atol=1e-5,
+                                   err_msg=k)
+
+
+def test_train_step_rejects_padded_batch():
+    over = {
+        "model.generator": "unet_128",
+        "model.ngf": 4,
+        "dataset.images_size": 128,
+        "mode.batch_size": 8,
+        "mode.compute_dtype": "float32",
+    }
+    cfg = load_config("batvisionv2", "train", "t", "unet_baseline", overrides=over)
+    ds = SyntheticEchoDataset(cfg, num_samples=8, seed=0)
+    batch = dict(next(ds.batches(8, shuffle=False)))
+    task = make_task(cfg)
+    eng = Engine(cfg, task)
+    state = eng.init_state(jax.random.PRNGKey(0), batch)
+    batch["_valid"] = np.ones(8, np.float32)
+    with pytest.raises(ValueError, match="eval-only"):
+        eng.train_step(state, batch)

@@ -1,0 +1,335 @@
+"""Executable architecture parity: reference torch weights → flax forward.
+
+For every model family we construct the GENUINE reference torch module
+(loaded from /root/reference at test time), warm its BatchNorm running
+stats with a couple of train-mode forwards, transplant its state_dict via
+audiodepth_tpu.tools.import_torch, and assert the flax forward reproduces
+the torch eval-mode forward numerically.  This upgrades "capability twin"
+from code reading to checked fact for all seven families, and doubles as
+an exact param-count golden (the mapper consumes every torch tensor and
+check_structure pins the flax tree leaf-for-leaf).
+
+Reference anchors: models/unetbaseline_model.py:123-235,
+unet_cvae_model.py:49-295, base_residual_model.py:83-237,
+binaural_attention_model.py:81-345, rgb_depth_model.py:80-218,
+adabins_distillation_model.py:210-459, coarse_depth_model.py:86-287,591-994.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audiodepth_tpu.tools import import_torch as it
+
+from ref_torch import load_ref_models, ref_cfg, reference_available
+
+torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="/root/reference not present"
+)
+
+
+def _nhwc(x_nchw: np.ndarray) -> jnp.ndarray:
+    return jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))
+
+
+def _nchw(y_nhwc) -> np.ndarray:
+    return np.transpose(np.asarray(y_nhwc), (0, 3, 1, 2))
+
+
+def _state_dict_np(model) -> dict:
+    return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
+
+
+def _torch_param_count(model) -> int:
+    return sum(p.numel() for p in model.parameters() if p.requires_grad)
+
+
+def _flax_param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+
+
+def _warm_bn(model, *inputs, passes: int = 2):
+    """Populate running stats so the transplant exercises real statistics."""
+    model.train()
+    with torch.no_grad():
+        for _ in range(passes):
+            model(*inputs)
+    model.eval()
+
+
+def _rand(*shape, seed=0):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_unet_baseline_forward_parity():
+    ref = load_ref_models().unetbaseline_model
+    tm = ref.UnetGenerator(ref_cfg(depth_norm=True), 2, 1, 8, 64,
+                           norm_layer=functools.partial(
+                               torch.nn.BatchNorm2d, affine=True,
+                               track_running_stats=True))
+    ref.init_weights(tm, "normal", 0.02)
+    x = _rand(2, 2, 256, 256)
+    _warm_bn(tm, torch.from_numpy(x))
+    with torch.no_grad():
+        ty = tm(torch.from_numpy(x)).numpy()
+
+    from audiodepth_tpu.models.unet import UNetGenerator
+
+    fm = UNetGenerator(input_nc=2, output_nc=1, num_downs=8, ngf=64,
+                       depth_norm=True)
+    variables = it.import_unet(_state_dict_np(tm), num_downs=8)
+    init = fm.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 2)),
+                   train=False)
+    it.check_structure(variables, init)
+    assert _flax_param_count(variables["params"]) == _torch_param_count(tm) == 54_408_833
+    fy = _nchw(fm.apply(variables, _nhwc(x), train=False))
+    err = np.abs(fy - ty).max()
+    assert err < 1e-4, f"unet parity err {err}"
+
+
+def test_unet_cvae_forward_parity(monkeypatch):
+    ref = load_ref_models().unet_cvae_model
+    tm = ref.UnetGeneratorVAE(ref_cfg(depth_norm=True), 2, 1, 8, 64,
+                              norm_layer=functools.partial(
+                                  torch.nn.BatchNorm2d, affine=True,
+                                  track_running_stats=True),
+                              latent_dim=128)
+    base = load_ref_models().unetbaseline_model
+    base.init_weights(tm, "normal", 0.02)
+    x = _rand(2, 2, 256, 256, seed=1)
+    _warm_bn(tm, torch.from_numpy(x))
+    # deterministic posterior mean on both sides: eps = 0
+    monkeypatch.setattr(torch, "randn_like", lambda t: torch.zeros_like(t))
+    with torch.no_grad():
+        ty, tkl = tm(torch.from_numpy(x))
+    ty, tkl = ty.numpy(), float(tkl)
+
+    from audiodepth_tpu.models.unet_cvae import UNetCVAE
+
+    fm = UNetCVAE(input_nc=2, output_nc=1, num_downs=8, ngf=64,
+                  depth_norm=True, latent_dim=128)
+    variables = it.import_unet_cvae(_state_dict_np(tm), num_downs=8)
+    init = fm.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 256, 256, 2)), train=False, sample=False)
+    it.check_structure(variables, init)
+    # torch registers three BN modules it never runs (outermost down/up
+    # norms + innermost downnorm): 2*64 + 2*1 + 2*512 = 1154 params
+    assert _torch_param_count(tm) - _flax_param_count(variables["params"]) == 1154
+    fy, fkl = fm.apply(variables, _nhwc(x), train=False, sample=False)
+    err = np.abs(_nchw(fy) - ty).max()
+    assert err < 1e-4, f"cvae parity err {err}"
+    assert abs(fkl - tkl) < max(1e-4 * abs(tkl), 1e-3), (fkl, tkl)
+
+
+def test_base_residual_forward_parity():
+    ref = load_ref_models().base_residual_model
+    tm = ref.BaseResidualDepthNet(input_channels=2, base_channels=64,
+                                  bilinear=True, output_size=64,
+                                  max_depth=30.0)
+    x = _rand(2, 2, 64, 64, seed=2)
+    _warm_bn(tm, torch.from_numpy(x))
+    with torch.no_grad():
+        tb, tr, tf = (t.numpy() for t in tm(torch.from_numpy(x)))
+
+    from audiodepth_tpu.models.base_residual import BaseResidualNet
+
+    fm = BaseResidualNet(input_channels=2, base_channels=64, max_depth=30.0)
+    variables = it.import_base_residual(_state_dict_np(tm))
+    init = fm.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 2)),
+                   train=False)
+    it.check_structure(variables, init)
+    assert _flax_param_count(variables["params"]) == _torch_param_count(tm)
+    fb, fr = fm.apply(variables, _nhwc(x), train=False)
+    ff = np.clip(_nchw(fb) + _nchw(fr), 0.0, 30.0)
+    for name, a, b in (("base", _nchw(fb), tb), ("residual", _nchw(fr), tr),
+                       ("final", ff, tf)):
+        err = np.abs(a - b).max()
+        assert err < 5e-4, f"base_residual {name} parity err {err}"
+
+
+def test_binaural_attention_forward_parity():
+    ref = load_ref_models().binaural_attention_model
+    tm = ref.BinauralAttentionDepthNet(base_channels=64, bilinear=True,
+                                       output_size=32, max_depth=30.0,
+                                       attention_levels=[2, 3, 4, 5])
+    x = _rand(2, 2, 32, 32, seed=3)
+    _warm_bn(tm, torch.from_numpy(x))
+    with torch.no_grad():
+        ty = tm(torch.from_numpy(x)).numpy()
+
+    from audiodepth_tpu.models.binaural_attention import BinauralAttentionNet
+
+    fm = BinauralAttentionNet(base_channels=64, max_depth=30.0,
+                              attention_levels=(2, 3, 4, 5), output_size=32)
+    variables = it.import_binaural(_state_dict_np(tm))
+    init = fm.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 2)),
+                   train=False)
+    it.check_structure(variables, init)
+    assert _flax_param_count(variables["params"]) == _torch_param_count(tm)
+    fy = _nchw(fm.apply(variables, _nhwc(x), train=False))
+    err = np.abs(fy - ty).max()
+    assert err < 5e-4, f"binaural parity err {err}"
+
+
+def test_rgb_depth_forward_parity():
+    ref = load_ref_models().rgb_depth_model
+    tm = ref.RGBDepthNet(base_channels=64, bilinear=True, output_size=64,
+                         max_depth=30.0)
+    x = _rand(2, 3, 64, 64, seed=4)
+    _warm_bn(tm, torch.from_numpy(x))
+    with torch.no_grad():
+        ty, tfeats = tm(torch.from_numpy(x), return_features=True)
+    ty = ty.numpy()
+
+    from audiodepth_tpu.models.rgb_depth import RGBDepthNet
+
+    fm = RGBDepthNet(base_channels=64, max_depth=30.0, output_size=64)
+    variables = it.import_rgb_depth(_state_dict_np(tm))
+    init = fm.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    it.check_structure(variables, init)
+    assert _flax_param_count(variables["params"]) == _torch_param_count(tm)
+    fy, ffeats = fm.apply(variables, _nhwc(x), train=False,
+                          return_features=True)
+    err = np.abs(_nchw(fy) - ty).max()
+    assert err < 5e-4, f"rgb parity err {err}"
+    # distillation feature taps line up too
+    for k in ("x1", "x3", "x5", "d1", "d4"):
+        ferr = np.abs(_nchw(ffeats[k]) - tfeats[k].numpy()).max()
+        assert ferr < 5e-4, f"rgb feature {k} err {ferr}"
+
+
+def test_adabins_forward_parity():
+    ref = load_ref_models().adabins_distillation_model
+    # NOTE: the reference AdaBinsDecoder hardcodes 64-channel concat widths
+    # (adabins_distillation_model.py:165-168), so base_channels must be 64.
+    tm = ref.AdaBinsDistillationModel(n_bins=16, base_channels=64,
+                                      output_size=32, max_depth=30.0)
+    audio = _rand(2, 2, 32, 32, seed=5)
+    rgb = _rand(2, 3, 32, 32, seed=6)
+    tm.train()
+    with torch.no_grad():
+        for _ in range(2):
+            tm.forward_audio(torch.from_numpy(audio))
+            tm.forward_rgb(torch.from_numpy(rgb))
+    tm.eval()
+    with torch.no_grad():
+        ta = tm.forward_audio(torch.from_numpy(audio))
+        tr = tm.forward_rgb(torch.from_numpy(rgb))
+
+    from audiodepth_tpu.models.adabins import AdaBinsDistillationModel
+
+    fm = AdaBinsDistillationModel(n_bins=16, base_channels=64,
+                                  output_size=32, max_depth=30.0)
+    variables = it.import_adabins(_state_dict_np(tm))
+    init = fm.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 2)),
+                   jnp.zeros((1, 32, 32, 3)), train=False, mode="train")
+    it.check_structure(variables, init)
+    assert _flax_param_count(variables["params"]) == _torch_param_count(tm)
+    out = fm.apply(variables, _nhwc(audio), _nhwc(rgb), train=False,
+                   mode="train")
+    for branch, tout in (("audio", ta), ("rgb", tr)):
+        fout = out[branch]
+        cerr = np.abs(np.asarray(fout["bin_centers"]) -
+                      tout["bin_centers"].numpy()).max()
+        assert cerr < 1e-4, f"{branch} bin_centers err {cerr}"
+        derr = np.abs(_nchw(fout["final_depth"]) -
+                      tout["final_depth"].numpy()).max()
+        assert derr < 5e-4, f"{branch} final_depth err {derr}"
+
+
+@pytest.mark.parametrize("variant", ["unet", "lite", "offset", "dual"])
+def test_coarse_family_forward_parity(variant):
+    ref = load_ref_models().coarse_depth_model
+    x = _rand(2, 2, 32, 32, seed=7)
+    centers = np.linspace(0.5, 29.5, 8, dtype=np.float32)
+
+    from audiodepth_tpu.models import coarse_depth as cd
+
+    if variant == "unet":
+        tm = ref.CoarseDepthUNet(input_channels=2, n_bins=8,
+                                 base_channels=16, output_size=32)
+        fm = cd.CoarseDepthUNet(input_channels=2, n_bins=8,
+                                base_channels=16, output_size=32)
+        importer = it.import_coarse_unet
+    elif variant == "lite":
+        tm = ref.CoarseDepthLite(input_channels=2, n_bins=8,
+                                 base_channels=16, output_size=32)
+        fm = cd.CoarseDepthLite(input_channels=2, n_bins=8,
+                                base_channels=16, output_size=32)
+        importer = it.import_coarse_lite
+    elif variant == "offset":
+        tm = ref.CoarseWithOffsetModel(input_channels=2, n_bins=8,
+                                       base_channels=16, output_size=32)
+        fm = cd.CoarseWithOffsetModel(input_channels=2, n_bins=8,
+                                      base_channels=16, output_size=32)
+        importer = it.import_coarse_offset
+    else:
+        tm = ref.DualRegressionModel(input_channels=2, base_channels=16,
+                                     output_size=32)
+        fm = cd.DualRegressionModel(input_channels=2, base_channels=16,
+                                    output_size=32)
+        importer = it.import_dual_regression
+
+    if variant != "dual":
+        tm.set_bin_centers(torch.from_numpy(centers))
+    _warm_bn(tm, torch.from_numpy(x))
+    with torch.no_grad():
+        touts = [t.numpy() for t in tm(torch.from_numpy(x))]
+
+    variables = importer(_state_dict_np(tm))
+    fc = jnp.asarray(centers)
+    if variant == "dual":
+        init = fm.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 2)),
+                       train=False)
+        fouts = fm.apply(variables, _nhwc(x), train=False)
+    else:
+        init = fm.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 2)), fc,
+                       train=False)
+        fouts = fm.apply(variables, _nhwc(x), fc, train=False)
+    it.check_structure(variables, init)
+    assert _flax_param_count(variables["params"]) == _torch_param_count(tm)
+
+    fouts = [fouts] if not isinstance(fouts, (tuple, list)) else list(fouts)
+    for i, (fo, to) in enumerate(zip(fouts, touts)):
+        fo = np.asarray(fo)
+        if fo.ndim == 4:
+            fo = _nchw(fo)
+        err = np.abs(fo - to).max()
+        assert err < 5e-4, f"coarse[{variant}] output {i} err {err}"
+
+
+def test_cli_evaluate_torch_checkpoint(tmp_path):
+    """End-to-end: a reference-format .pth drives cli.evaluate directly."""
+    ref = load_ref_models().unetbaseline_model
+    tm = ref.UnetGenerator(ref_cfg(depth_norm=False), 2, 1, 7, 4,
+                           norm_layer=functools.partial(
+                               torch.nn.BatchNorm2d, affine=True,
+                               track_running_stats=True))
+    ref.init_weights(tm, "normal", 0.02)
+    pth = tmp_path / "checkpoint_5.pth"
+    torch.save({"state_dict": tm.state_dict(), "epoch": 5}, str(pth))
+
+    from audiodepth_tpu.cli.evaluate import main as eval_main
+
+    means = eval_main([
+        "--dataset", "synthetic", "--model", "unet_baseline",
+        "--generator", "unet_128", "--ngf", "4", "--compute_dtype", "float32",
+        "--eval_on", "val", "--batch_size", "4",
+        "--torch_checkpoint", str(pth),
+        "--stat_dir", str(tmp_path / "eval"),
+    ])
+    assert np.isfinite(means["rmse"])
+    stat_root = tmp_path / "eval" / "synthetic" / "val"
+    assert any("torch" in f.name for f in stat_root.iterdir())
