@@ -1,0 +1,75 @@
+"""Export a trained flax checkpoint as a reference-format torch ``.pth``.
+
+The inverse of ``cli.evaluate --torch_checkpoint``: models trained in this
+framework load straight into the reference ecosystem
+(``model.load_state_dict(checkpoint["state_dict"])``, reference
+test.py:120-203). Mapping specs are shared with the importer
+(tools/import_torch.py), so the two directions cannot drift apart.
+
+Usage:
+    python -m audiodepth_tpu.tools.export_torch \
+        --dataset batvisionv2 --model unet_baseline \
+        --ckpt_dir ./checkpoints --experiment_name <exp> \
+        --out model.pth [--checkpoints N | --use_best]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Export flax checkpoint to torch .pth")
+    p.add_argument("--dataset", default="batvisionv2")
+    p.add_argument("--model", default="unet_baseline")
+    p.add_argument("--ckpt_dir", required=True)
+    p.add_argument("--experiment_name", required=True)
+    p.add_argument("--checkpoints", type=int, default=None, help="epoch (default latest)")
+    p.add_argument("--use_best", action="store_true")
+    p.add_argument("--out", default="./export/model.pth")
+    p.add_argument("--generator", default=None, choices=[None, "unet_256", "unet_128"])
+    p.add_argument("--ngf", type=int, default=None)
+    p.add_argument("--base_channels", type=int, default=None)
+    p.add_argument("--n_bins", type=int, default=None)
+    p.add_argument("--model_type", default=None)
+    args = p.parse_args(argv)
+
+    import os
+
+    import torch
+
+    from ..ckpt import CheckpointManager
+    from ..configs import load_config
+    from .import_torch import export_for_config
+
+    overrides = {}
+    for key, val in {
+        "model.generator": args.generator,
+        "model.ngf": args.ngf,
+        "model.base_channels": args.base_channels,
+        "model.n_bins": args.n_bins,
+        "model.model_type": args.model_type,
+    }.items():
+        if val is not None:
+            overrides[key] = val
+    cfg = load_config(args.dataset, "test", "export", args.model,
+                      overrides=overrides)
+
+    mgr = CheckpointManager(args.ckpt_dir, args.experiment_name)
+    epoch_req = "best" if (args.use_best and args.checkpoints is None) else args.checkpoints
+    params, batch_stats, _aux, epoch = mgr.restore_eval(epoch=epoch_req)
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+
+    sd = export_for_config(cfg, variables)
+    payload = {"state_dict": {k: torch.from_numpy(v.copy()) for k, v in sd.items()},
+               "epoch": int(epoch)}
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    torch.save(payload, args.out)
+    print(f"exported epoch {epoch} ({len(sd)} tensors) → {args.out}")
+    return args.out
+
+
+if __name__ == "__main__":
+    main()

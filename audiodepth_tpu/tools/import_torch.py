@@ -15,6 +15,12 @@ audiodepth_tpu flax module, converting layouts:
     BatchNorm2d     weight/bias/running_mean/running_var
                                   -> scale/bias params + mean/var batch_stats
 
+The same per-family mapping specs run in BOTH directions: _Builder maps
+torch→flax (import) and _ExportBuilder runs the identical spec flax→torch,
+producing a ``.pth``-ready state_dict the reference loads with
+``load_state_dict(strict=True)`` (dead reference modules and buffers are
+synthesized at their init values).
+
 Every mapper consumes the full torch key set (``num_batches_tracked`` and
 documented dead modules are discarded explicitly); unconsumed or missing
 keys raise, so architecture drift fails loudly instead of silently
@@ -124,6 +130,19 @@ class _Builder:
     def raw(self, fpath: str, tkey: str):
         self._put(self.params, fpath, self._take(tkey))
 
+    def dead_bn(self, tprefix: str, ch: int):
+        """A BN module the reference registers but never runs: consumed on
+        import, synthesized at init values on export."""
+        del ch
+        self.discard(tprefix)
+
+    def buffer(self, tkey: str, n: int):
+        """A registered buffer (e.g. coarse bin_centers): consumed on
+        import (bin centers travel as forward args here), synthesized as
+        the reference default linspace(0,1,n) on export."""
+        del n
+        self.discard(tkey)
+
     def discard(self, *keys_or_prefixes: str):
         """Mark dead reference params (unused modules, buffers) consumed."""
         for kp in keys_or_prefixes:
@@ -189,8 +208,7 @@ def _unet_block_prefixes(num_downs: int) -> Sequence[str]:
     return prefixes
 
 
-def import_unet(sd: Dict[str, np.ndarray], num_downs: int = 8) -> Dict[str, dict]:
-    b = _Builder(sd)
+def _spec_unet(b: "_Builder", num_downs: int = 8):
     P = _unet_block_prefixes(num_downs)
     n = num_downs
     # encoder
@@ -206,15 +224,14 @@ def import_unet(sd: Dict[str, np.ndarray], num_downs: int = 8) -> Dict[str, dict
         b.convT(f"ConvUp_{j}/ConvTranspose_0", f"{P[d]}.5", bias=False)
         b.bn(f"BatchNorm_{n - 2 + j}/BatchNorm_0", f"{P[d]}.6")
     b.convT(f"ConvUp_{n - 1}/ConvTranspose_0", f"{P[0]}.3", bias=True)
-    return b.finish()
 
 
 # ---------------------------------------------------------------------------
 # UNet-cVAE (models/unet_cvae_model.py:49-295)
 # ---------------------------------------------------------------------------
 
-def import_unet_cvae(sd: Dict[str, np.ndarray], num_downs: int = 8) -> Dict[str, dict]:
-    b = _Builder(sd)
+def _spec_unet_cvae(b: "_Builder", num_downs: int = 8, ngf: int = 64,
+                    output_nc: int = 1):
     n = num_downs
     Q = ["model"]
     for _ in range(1, n):
@@ -228,7 +245,9 @@ def import_unet_cvae(sd: Dict[str, np.ndarray], num_downs: int = 8) -> Dict[str,
     # dead modules the reference registers but never runs (unet_cvae_model.py
     # creates downnorm/upnorm on every block before the outermost/innermost
     # branch decides not to use them)
-    b.discard(f"{Q[0]}.downnorm", f"{Q[0]}.upnorm", f"{Q[n - 1]}.downnorm")
+    b.dead_bn(f"{Q[0]}.downnorm", ngf)
+    b.dead_bn(f"{Q[0]}.upnorm", output_nc)
+    b.dead_bn(f"{Q[n - 1]}.downnorm", ngf * 8)
     # VAE bottleneck
     for name in ("fc_mu", "fc_logvar", "fc_dec"):
         b.dense(f"VAEBottleneck_0/{name}", f"{Q[n - 1]}.vae.{name}")
@@ -239,15 +258,13 @@ def import_unet_cvae(sd: Dict[str, np.ndarray], num_downs: int = 8) -> Dict[str,
         b.convT(f"ConvUp_{j}/ConvTranspose_0", f"{Q[d]}.upconv", bias=False)
         b.bn(f"BatchNorm_{n - 2 + j}/BatchNorm_0", f"{Q[d]}.upnorm")
     b.convT(f"ConvUp_{n - 1}/ConvTranspose_0", f"{Q[0]}.upconv", bias=True)
-    return b.finish()
 
 
 # ---------------------------------------------------------------------------
 # Base+Residual (models/base_residual_model.py:83-237)
 # ---------------------------------------------------------------------------
 
-def import_base_residual(sd: Dict[str, np.ndarray]) -> Dict[str, dict]:
-    b = _Builder(sd)
+def _spec_base_residual(b: "_Builder"):
     b.encoder("SharedEncoder_0")
     for i in range(4):
         b.up(f"UpBilinear_{i}", f"base_up{i + 1}")
@@ -255,17 +272,14 @@ def import_base_residual(sd: Dict[str, np.ndarray]) -> Dict[str, dict]:
     for i in range(4):
         b.up(f"UpBilinear_{i + 4}", f"res_up{i + 1}")
     b.conv("Conv_1", "res_head", bias=True)
-    return b.finish()
 
 
 # ---------------------------------------------------------------------------
 # Binaural attention (models/binaural_attention_model.py:81-345)
 # ---------------------------------------------------------------------------
 
-def import_binaural(
-    sd: Dict[str, np.ndarray], attention_levels: Sequence[int] = (2, 3, 4, 5)
-) -> Dict[str, dict]:
-    b = _Builder(sd)
+def _spec_binaural(b: "_Builder",
+                   attention_levels: Sequence[int] = (2, 3, 4, 5)):
     b.encoder("left_encoder", "left_encoder")
     b.encoder("right_encoder", "right_encoder")
     for lvl in attention_levels:
@@ -282,28 +296,24 @@ def import_binaural(
     for i in range(4):
         b.up(f"UpBilinear_{i}", f"up{i + 1}")
     b.conv("Conv_0", "outc.0", bias=True)
-    return b.finish()
 
 
 # ---------------------------------------------------------------------------
 # RGB teacher (models/rgb_depth_model.py:80-218)
 # ---------------------------------------------------------------------------
 
-def import_rgb_depth(sd: Dict[str, np.ndarray]) -> Dict[str, dict]:
-    b = _Builder(sd)
+def _spec_rgb_depth(b: "_Builder"):
     b.encoder("SharedEncoder_0")
     for i in range(4):
         b.up(f"UpBilinear_{i}", f"up{i + 1}")
     b.conv("Conv_0", "outc", bias=True)
-    return b.finish()
 
 
 # ---------------------------------------------------------------------------
 # AdaBins distillation twins (models/adabins_distillation_model.py:210-459)
 # ---------------------------------------------------------------------------
 
-def import_adabins(sd: Dict[str, np.ndarray]) -> Dict[str, dict]:
-    b = _Builder(sd)
+def _spec_adabins(b: "_Builder"):
     for branch in ("audio", "rgb"):
         b.encoder(f"{branch}/AdaBinsEncoder_0", f"{branch}_encoder")
         b.dense(f"{branch}/BinPredictor_0/Dense_0", f"{branch}_bin_predictor.predictor.0")
@@ -312,26 +322,22 @@ def import_adabins(sd: Dict[str, np.ndarray]) -> Dict[str, dict]:
             b.up(f"{branch}/AdaBinsDecoder_0/UpBilinear_{i}", f"{branch}_decoder.up{i + 1}")
         b.conv(f"{branch}/AdaBinsDecoder_0/Conv_0", f"{branch}_decoder.class_head", bias=True)
     b.conv("residual_head", "residual_head", bias=True)
-    return b.finish()
 
 
 # ---------------------------------------------------------------------------
 # Coarse-depth family (models/coarse_depth_model.py:86-287, 591-994)
 # ---------------------------------------------------------------------------
 
-def import_coarse_unet(sd: Dict[str, np.ndarray]) -> Dict[str, dict]:
-    b = _Builder(sd)
-    b.discard("bin_centers")  # buffer; bin centers are a forward arg here
+def _spec_coarse_unet(b: "_Builder", n_bins: int = 128):
+    b.buffer("bin_centers", n_bins)  # bin centers are a forward arg here
     b.encoder("SharedEncoder_0", inner="conv", pool="pool_conv")
     for i in range(4):
         b.up(f"_Decoder_0/UpBilinear_{i}", f"up{i + 1}", inner="conv")
     b.conv("Conv_0", "outc", bias=True)
-    return b.finish()
 
 
-def import_coarse_lite(sd: Dict[str, np.ndarray]) -> Dict[str, dict]:
-    b = _Builder(sd)
-    b.discard("bin_centers")
+def _spec_coarse_lite(b: "_Builder", n_bins: int = 128):
+    b.buffer("bin_centers", n_bins)
     for i in range(5):
         b.conv(f"ConvDown_{i}/Conv_0", f"encoder.{3 * i}", bias=True)
         b.bn(f"BatchNorm_{i}/BatchNorm_0", f"encoder.{3 * i + 1}")
@@ -339,7 +345,6 @@ def import_coarse_lite(sd: Dict[str, np.ndarray]) -> Dict[str, dict]:
         b.convT(f"ConvUp_{i}/ConvTranspose_0", f"decoder.{3 * i}", bias=True)
         b.bn(f"BatchNorm_{i + 5}/BatchNorm_0", f"decoder.{3 * i + 1}")
     b.conv("Conv_0", "head", bias=True)
-    return b.finish()
 
 
 def _import_dual_decoders(b: _Builder, coarse_head_torch: str):
@@ -356,56 +361,208 @@ def _import_dual_decoders(b: _Builder, coarse_head_torch: str):
     b.conv("offset_fusion/Conv_2", "offset_head", bias=True)
 
 
-def import_coarse_offset(sd: Dict[str, np.ndarray]) -> Dict[str, dict]:
-    b = _Builder(sd)
-    b.discard("bin_centers")
+def _spec_coarse_offset(b: "_Builder", n_bins: int = 8):
+    b.buffer("bin_centers", n_bins)
     _import_dual_decoders(b, "coarse_head")
-    return b.finish()
 
 
-def import_dual_regression(sd: Dict[str, np.ndarray]) -> Dict[str, dict]:
-    b = _Builder(sd)
+def _spec_dual_regression(b: "_Builder"):
     _import_dual_decoders(b, "coarse_head")
-    return b.finish()
 
 
-_IMPORTERS = {
-    "unet_baseline": import_unet,
-    "unet_cvae": import_unet_cvae,
-    "base_residual": import_base_residual,
-    "binaural_attention": import_binaural,
-    "rgb_depth": import_rgb_depth,
-    "adabins_distillation": import_adabins,
-    "coarse_unet": import_coarse_unet,
-    "coarse_lite": import_coarse_lite,
-    "coarse_with_offset": import_coarse_offset,
-    "dual_regression": import_dual_regression,
+# ---------------------------------------------------------------------------
+# flax → torch (export): the SAME specs, run against flax variables
+# ---------------------------------------------------------------------------
+
+class _ExportBuilder(_Builder):
+    """Runs a mapping spec in reverse: flax variables → torch state_dict."""
+
+    def __init__(self, variables: Dict[str, dict]):
+        from flax.traverse_util import flatten_dict
+
+        self.p = {"/".join(k): np.asarray(v)
+                  for k, v in flatten_dict(variables.get("params", {})).items()}
+        self.s = {"/".join(k): np.asarray(v)
+                  for k, v in flatten_dict(variables.get("batch_stats", {})).items()}
+        self.out: Dict[str, np.ndarray] = {}
+        self.used: set = set()
+
+    def _take_flax(self, tree: Dict[str, np.ndarray], fpath: str) -> np.ndarray:
+        if fpath not in tree:
+            raise KeyError(f"flax variables are missing expected leaf {fpath!r}")
+        self.used.add(fpath)
+        return tree[fpath]
+
+    def _emit(self, tkey: str, arr: np.ndarray):
+        if tkey in self.out:
+            raise ValueError(f"duplicate torch key {tkey}")
+        self.out[tkey] = np.ascontiguousarray(arr)
+
+    def conv(self, fpath: str, tprefix: str, bias: bool = True):
+        w = self._take_flax(self.p, f"{fpath}/kernel")        # [kh,kw,I,O]
+        self._emit(f"{tprefix}.weight", np.transpose(w, (3, 2, 0, 1)))
+        if bias:
+            self._emit(f"{tprefix}.bias", self._take_flax(self.p, f"{fpath}/bias"))
+
+    def convT(self, fpath: str, tprefix: str, bias: bool = True):
+        w = self._take_flax(self.p, f"{fpath}/kernel")        # flipped [kh,kw,I,O]
+        self._emit(f"{tprefix}.weight",
+                   np.transpose(w, (2, 3, 0, 1))[:, :, ::-1, ::-1])
+        if bias:
+            self._emit(f"{tprefix}.bias", self._take_flax(self.p, f"{fpath}/bias"))
+
+    def dense(self, fpath: str, tprefix: str, conv1x1: bool = False):
+        k = self._take_flax(self.p, f"{fpath}/kernel").T      # [O,I]
+        if conv1x1:
+            k = k[:, :, None, None]
+        self._emit(f"{tprefix}.weight", k)
+        self._emit(f"{tprefix}.bias", self._take_flax(self.p, f"{fpath}/bias"))
+
+    def bn(self, fpath: str, tprefix: str):
+        self._emit(f"{tprefix}.weight", self._take_flax(self.p, f"{fpath}/scale"))
+        self._emit(f"{tprefix}.bias", self._take_flax(self.p, f"{fpath}/bias"))
+        self._emit(f"{tprefix}.running_mean", self._take_flax(self.s, f"{fpath}/mean"))
+        self._emit(f"{tprefix}.running_var", self._take_flax(self.s, f"{fpath}/var"))
+        self.out[f"{tprefix}.num_batches_tracked"] = np.zeros((), np.int64)
+
+    def raw(self, fpath: str, tkey: str):
+        self._emit(tkey, self._take_flax(self.p, fpath))
+
+    def dead_bn(self, tprefix: str, ch: int):
+        self._emit(f"{tprefix}.weight", np.ones(ch, np.float32))
+        self._emit(f"{tprefix}.bias", np.zeros(ch, np.float32))
+        self._emit(f"{tprefix}.running_mean", np.zeros(ch, np.float32))
+        self._emit(f"{tprefix}.running_var", np.ones(ch, np.float32))
+        self.out[f"{tprefix}.num_batches_tracked"] = np.zeros((), np.int64)
+
+    def buffer(self, tkey: str, n: int):
+        self._emit(tkey, np.linspace(0.0, 1.0, n, dtype=np.float32))
+
+    def discard(self, *keys_or_prefixes: str):
+        pass  # nothing to consume on export
+
+    def finish(self) -> Dict[str, np.ndarray]:
+        leftover = sorted((set(self.p) | set(self.s)) - self.used)
+        if leftover:
+            raise ValueError(
+                f"{len(leftover)} flax leaves were not consumed by the "
+                f"mapping (architecture drift?): {leftover[:8]}..."
+            )
+        return self.out
+
+
+_SPECS = {
+    "unet_baseline": _spec_unet,
+    "unet_cvae": _spec_unet_cvae,
+    "base_residual": _spec_base_residual,
+    "binaural_attention": _spec_binaural,
+    "rgb_depth": _spec_rgb_depth,
+    "adabins_distillation": _spec_adabins,
+    "coarse_unet": _spec_coarse_unet,
+    "coarse_lite": _spec_coarse_lite,
+    "coarse_with_offset": _spec_coarse_offset,
+    "dual_regression": _spec_dual_regression,
 }
 
 
 def import_torch_family(family: str, sd: Dict[str, np.ndarray], **kwargs) -> Dict[str, dict]:
     """Map a reference torch state_dict to flax variables for ``family``."""
-    if family not in _IMPORTERS:
+    if family not in _SPECS:
         raise ValueError(
-            f"no torch importer for family {family!r}; available: {sorted(_IMPORTERS)}"
+            f"no torch mapping for family {family!r}; available: {sorted(_SPECS)}"
         )
-    return _IMPORTERS[family](sd, **kwargs)
+    b = _Builder(sd)
+    _SPECS[family](b, **kwargs)
+    return b.finish()
+
+
+def export_torch_family(family: str, variables: Dict[str, dict],
+                        **kwargs) -> Dict[str, np.ndarray]:
+    """Map flax variables to a reference-format torch state_dict."""
+    if family not in _SPECS:
+        raise ValueError(
+            f"no torch mapping for family {family!r}; available: {sorted(_SPECS)}"
+        )
+    b = _ExportBuilder(variables)
+    _SPECS[family](b, **kwargs)
+    return b.finish()
+
+
+# thin per-family wrappers (stable public API)
+def import_unet(sd, num_downs=8):
+    return import_torch_family("unet_baseline", sd, num_downs=num_downs)
+
+
+def import_unet_cvae(sd, num_downs=8):
+    return import_torch_family("unet_cvae", sd, num_downs=num_downs)
+
+
+def import_base_residual(sd):
+    return import_torch_family("base_residual", sd)
+
+
+def import_binaural(sd, attention_levels=(2, 3, 4, 5)):
+    return import_torch_family("binaural_attention", sd,
+                               attention_levels=attention_levels)
+
+
+def import_rgb_depth(sd):
+    return import_torch_family("rgb_depth", sd)
+
+
+def import_adabins(sd):
+    return import_torch_family("adabins_distillation", sd)
+
+
+def import_coarse_unet(sd):
+    return import_torch_family("coarse_unet", sd)
+
+
+def import_coarse_lite(sd):
+    return import_torch_family("coarse_lite", sd)
+
+
+def import_coarse_offset(sd):
+    return import_torch_family("coarse_with_offset", sd)
+
+
+def import_dual_regression(sd):
+    return import_torch_family("dual_regression", sd)
+
+
+def _family_kwargs(cfg) -> tuple:
+    """(spec family name, kwargs) for a loaded Config."""
+    name = cfg.model.name
+    if name == "unet_baseline":
+        return name, {"num_downs": 8 if cfg.model.generator == "unet_256" else 7}
+    if name == "unet_cvae":
+        return name, {"num_downs": 8 if cfg.model.generator == "unet_256" else 7,
+                      "ngf": cfg.model.ngf, "output_nc": cfg.model.output_nc}
+    if name == "binaural_attention":
+        return name, {"attention_levels": tuple(cfg.model.attention_levels)}
+    if name == "coarse_depth":
+        by_type = {"unet": "coarse_unet", "lite": "coarse_lite",
+                   "hybrid": "coarse_with_offset", "dual_reg": "dual_regression"}
+        fam = by_type[cfg.model.model_type]
+        kw = {} if fam == "dual_regression" else {"n_bins": cfg.model.n_bins}
+        return fam, kw
+    return name, {}
 
 
 def import_for_config(cfg, sd: Dict[str, np.ndarray]) -> Dict[str, dict]:
     """Dispatch on a loaded Config (mirrors the reference driver mapping)."""
-    name = cfg.model.name
-    if name in ("unet_baseline", "unet_cvae"):
-        nd = 8 if cfg.model.generator == "unet_256" else 7
-        fn = import_unet if name == "unet_baseline" else import_unet_cvae
-        return fn(sd, num_downs=nd)
-    if name == "binaural_attention":
-        return import_binaural(sd, attention_levels=tuple(cfg.model.attention_levels))
-    if name == "coarse_depth":
-        by_type = {"unet": import_coarse_unet, "lite": import_coarse_lite,
-                   "hybrid": import_coarse_offset, "dual_reg": import_dual_regression}
-        return by_type[cfg.model.model_type](sd)
-    return import_torch_family(name, sd)
+    fam, kw = _family_kwargs(cfg)
+    if fam == "unet_cvae":
+        kw = {"num_downs": kw["num_downs"]}  # ngf/output_nc are export-only
+    if fam in ("coarse_unet", "coarse_lite", "coarse_with_offset"):
+        kw = {}
+    return import_torch_family(fam, sd, **kw)
+
+
+def export_for_config(cfg, variables: Dict[str, dict]) -> Dict[str, np.ndarray]:
+    """flax variables → reference-format state_dict, driven by a Config."""
+    fam, kw = _family_kwargs(cfg)
+    return export_torch_family(fam, variables, **kw)
 
 
 def check_structure(imported: Dict[str, dict], init_vars: Dict[str, dict]) -> None:

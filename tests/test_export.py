@@ -106,3 +106,24 @@ def test_export_from_trained_checkpoint(tmp_path):
     # fp32 fusion-order noise between the exported graph and the live jit
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=5e-5)
+
+    # the torch-export CLI ships the same checkpoint as a reference-format
+    # .pth that imports back to the identical param tree
+    import torch
+
+    from audiodepth_tpu.tools.export_torch import main as export_torch_main
+    from audiodepth_tpu.tools import import_torch as it
+
+    pth = str(tmp_path / "model.pth")
+    export_torch_main([
+        "--dataset", "batvisionv2", "--model", "unet_baseline",
+        "--generator", "unet_128", "--ngf", "4",
+        "--ckpt_dir", ck, "--experiment_name", exp, "--out", pth,
+    ])
+    sd = it.load_torch_state_dict(pth)
+    back = it.import_for_config(cfg, sd)
+    it.check_structure(back, {"params": params, "batch_stats": batch_stats})
+    flat_want = jax.tree_util.tree_leaves(params)
+    flat_got = jax.tree_util.tree_leaves(back["params"])
+    for a, b in zip(flat_want, flat_got):
+        np.testing.assert_array_equal(np.asarray(a, np.float32), b)

@@ -333,3 +333,118 @@ def test_cli_evaluate_torch_checkpoint(tmp_path):
     assert np.isfinite(means["rmse"])
     stat_root = tmp_path / "eval" / "synthetic" / "val"
     assert any("torch" in f.name for f in stat_root.iterdir())
+
+
+# ---------------------------------------------------------------------------
+# reverse direction: flax → torch export
+# ---------------------------------------------------------------------------
+
+def _init_variants():
+    """(family, kwargs, flax init variables) for every mapped variant."""
+    from audiodepth_tpu.models import coarse_depth as cd
+    from audiodepth_tpu.models.adabins import AdaBinsDistillationModel
+    from audiodepth_tpu.models.base_residual import BaseResidualNet
+    from audiodepth_tpu.models.binaural_attention import BinauralAttentionNet
+    from audiodepth_tpu.models.rgb_depth import RGBDepthNet
+    from audiodepth_tpu.models.unet import UNetGenerator
+    from audiodepth_tpu.models.unet_cvae import UNetCVAE
+
+    k = jax.random.PRNGKey(0)
+    x2 = jnp.zeros((1, 128, 128, 2))
+    x32 = jnp.zeros((1, 32, 32, 2))
+    cb = jnp.linspace(0.0, 1.0, 8)
+    yield ("unet_baseline", {"num_downs": 7},
+           UNetGenerator(num_downs=7, ngf=8).init(k, x2, train=False))
+    yield ("unet_cvae", {"num_downs": 7, "ngf": 8},
+           UNetCVAE(num_downs=7, ngf=8).init(
+               {"params": k}, x2, train=False, sample=False))
+    yield ("base_residual", {},
+           BaseResidualNet(base_channels=16).init(k, x32, train=False))
+    yield ("binaural_attention", {},
+           BinauralAttentionNet(base_channels=16, output_size=32).init(
+               k, x32, train=False))
+    yield ("rgb_depth", {},
+           RGBDepthNet(base_channels=16, output_size=32).init(
+               k, jnp.zeros((1, 32, 32, 3)), train=False))
+    yield ("adabins_distillation", {},
+           AdaBinsDistillationModel(n_bins=8, base_channels=64,
+                                    output_size=32).init(
+               k, x32, jnp.zeros((1, 32, 32, 3)), train=False, mode="train"))
+    yield ("coarse_unet", {"n_bins": 8},
+           cd.CoarseDepthUNet(n_bins=8, base_channels=16, output_size=32).init(
+               k, x32, cb, train=False))
+    yield ("coarse_lite", {"n_bins": 8},
+           cd.CoarseDepthLite(n_bins=8, base_channels=16, output_size=32).init(
+               k, x32, cb, train=False))
+    yield ("coarse_with_offset", {"n_bins": 8},
+           cd.CoarseWithOffsetModel(n_bins=8, base_channels=16,
+                                    output_size=32).init(
+               k, x32, cb, train=False))
+    yield ("dual_regression", {},
+           cd.DualRegressionModel(base_channels=16, output_size=32).init(
+               k, x32, train=False))
+
+
+def test_export_import_roundtrip_all_families():
+    """flax → torch state_dict → flax reproduces every leaf exactly, for
+    every mapped family/variant (the specs are shared, so this pins that
+    the two directions are true inverses)."""
+    from flax.traverse_util import flatten_dict
+
+    for family, kwargs, variables in _init_variants():
+        sd = it.export_torch_family(family, variables, **kwargs)
+        back = it.import_torch_family(family, sd, **kwargs)
+        it.check_structure(back, variables)
+        for col in ("params", "batch_stats"):
+            want = flatten_dict(variables.get(col, {}))
+            got = flatten_dict(back.get(col, {}))
+            for key in want:
+                np.testing.assert_array_equal(
+                    np.asarray(want[key], np.float32), got[key],
+                    err_msg=f"{family} {col} {'/'.join(key)}")
+
+
+def test_exported_state_dict_loads_into_reference():
+    """A flax-initialized model exports to a .pth the GENUINE reference
+    module loads with strict=True and computes the same function."""
+    from audiodepth_tpu.models.unet import UNetGenerator
+
+    fm = UNetGenerator(num_downs=7, ngf=8, depth_norm=True)
+    variables = fm.init(jax.random.PRNGKey(3), jnp.zeros((1, 128, 128, 2)),
+                        train=False)
+    sd = it.export_torch_family("unet_baseline", variables, num_downs=7)
+
+    ref = load_ref_models().unetbaseline_model
+    tm = ref.UnetGenerator(ref_cfg(depth_norm=True), 2, 1, 7, 8,
+                           norm_layer=functools.partial(
+                               torch.nn.BatchNorm2d, affine=True,
+                               track_running_stats=True))
+    tm.load_state_dict({k: torch.from_numpy(v.copy()) for k, v in sd.items()},
+                       strict=True)
+    tm.eval()
+    x = _rand(2, 2, 128, 128, seed=9)
+    with torch.no_grad():
+        ty = tm(torch.from_numpy(x)).numpy()
+    fy = _nchw(fm.apply(variables, _nhwc(x), train=False))
+    err = np.abs(fy - ty).max()
+    assert err < 1e-4, f"export-to-reference parity err {err}"
+
+
+def test_exported_cvae_dead_modules_accepted():
+    """cVAE export synthesizes the reference's never-run BN modules at
+    init values so strict load succeeds."""
+    from audiodepth_tpu.models.unet_cvae import UNetCVAE
+
+    fm = UNetCVAE(num_downs=7, ngf=8)
+    variables = fm.init({"params": jax.random.PRNGKey(4)},
+                        jnp.zeros((1, 128, 128, 2)), train=False, sample=False)
+    sd = it.export_torch_family("unet_cvae", variables, num_downs=7, ngf=8,
+                                output_nc=1)
+    ref = load_ref_models().unet_cvae_model
+    tm = ref.UnetGeneratorVAE(ref_cfg(depth_norm=True), 2, 1, 7, 8,
+                              norm_layer=functools.partial(
+                                  torch.nn.BatchNorm2d, affine=True,
+                                  track_running_stats=True),
+                              latent_dim=128)
+    tm.load_state_dict({k: torch.from_numpy(v.copy()) for k, v in sd.items()},
+                       strict=True)
