@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import DoubleConv, Down, UpBilinear, kaiming_init
+from .layers import DoubleConv, Down, UpBilinear, at_least_f32, kaiming_init
 
 
 class AdaBinsEncoder(nn.Module):
@@ -51,7 +51,7 @@ class BinPredictor(nn.Module):
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        g = jnp.mean(feats, axis=(1, 2)).astype(jnp.float32)
+        g = at_least_f32(jnp.mean(feats, axis=(1, 2)))
         h = nn.Dense(256, kernel_init=kaiming_init())(g)
         h = nn.relu(h)
         h = nn.Dropout(0.1, deterministic=not self.train)(h)
@@ -79,7 +79,8 @@ class AdaBinsDecoder(nn.Module):
         x = UpBilinear(c * 2, train=self.train, dtype=self.dtype)(x, f["x2"])
         x = UpBilinear(c, train=self.train, dtype=self.dtype)(x, f["x1"])
         logits = nn.Conv(self.n_bins, (1, 1), dtype=self.dtype,
-                         kernel_init=kaiming_init())(x).astype(jnp.float32)
+                         kernel_init=kaiming_init())(x)
+        logits = at_least_f32(logits)
         if logits.shape[1] != self.output_size:
             # NEAREST for depth-related logits (reference choice)
             logits = jax.image.resize(
@@ -148,7 +149,7 @@ class AdaBinsDistillationModel(nn.Module):
 
     @staticmethod
     def _residual_from(head, dec_feats, output_size, max_depth):
-        raw = head(dec_feats).astype(jnp.float32)
+        raw = at_least_f32(head(dec_feats))
         if raw.shape[1] != output_size:
             raw = jax.image.resize(
                 raw, (raw.shape[0], output_size, output_size, 1), method="nearest"

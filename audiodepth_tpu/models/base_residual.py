@@ -18,7 +18,7 @@ from typing import Any, Dict, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import DoubleConv, Down, UpBilinear
+from .layers import DoubleConv, Down, UpBilinear, at_least_f32
 
 
 class SharedEncoder(nn.Module):
@@ -56,7 +56,7 @@ class BaseResidualNet(nn.Module):
         b = UpBilinear(64, train=train, dtype=self.dtype)(b, f["x3"])
         b = UpBilinear(32, train=train, dtype=self.dtype)(b, f["x2"])
         b = UpBilinear(16, train=train, dtype=self.dtype)(b, f["x1"])
-        b = nn.Conv(1, (1, 1), dtype=self.dtype)(b).astype(jnp.float32)
+        b = at_least_f32(nn.Conv(1, (1, 1), dtype=self.dtype)(b))
         base = nn.sigmoid(b) * self.max_depth
 
         # full-width residual decoder
@@ -64,7 +64,7 @@ class BaseResidualNet(nn.Module):
         r = UpBilinear(c * 2, train=train, dtype=self.dtype)(r, f["x3"])
         r = UpBilinear(c, train=train, dtype=self.dtype)(r, f["x2"])
         r = UpBilinear(c, train=train, dtype=self.dtype)(r, f["x1"])
-        r = nn.Conv(1, (1, 1), dtype=self.dtype)(r).astype(jnp.float32)
+        r = at_least_f32(nn.Conv(1, (1, 1), dtype=self.dtype)(r))
         residual = jnp.tanh(r) * (0.3 * self.max_depth)
 
         return base, residual

@@ -24,7 +24,7 @@ from flax import linen as nn
 
 from ..ops.pallas.flash_attention import cross_attention
 from .base_residual import SharedEncoder
-from .layers import BatchNorm, UpBilinear, kaiming_init
+from .layers import BatchNorm, UpBilinear, at_least_f32, kaiming_init
 
 # Q/K projection bottleneck divisor (reference reduction=8,
 # binaural_attention_model.py:90-98). bench.py derives attention FLOPs
@@ -133,7 +133,7 @@ class BinauralAttentionNet(nn.Module):
         h = UpBilinear(c, train=train, dtype=self.dtype)(h, fused[2])
         h = UpBilinear(c, train=train, dtype=self.dtype)(h, fused[1])
         h = nn.Conv(1, (1, 1), dtype=self.dtype, kernel_init=kaiming_init())(h)
-        depth = nn.sigmoid(h.astype(jnp.float32)) * self.max_depth
+        depth = nn.sigmoid(at_least_f32(h)) * self.max_depth
 
         if depth.shape[1] != self.output_size:
             depth = jax.image.resize(

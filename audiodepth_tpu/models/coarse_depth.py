@@ -25,12 +25,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .base_residual import SharedEncoder
-from .layers import BatchNorm, ConvDown, ConvUp, UpBilinear, kaiming_init
+from .layers import BatchNorm, ConvDown, ConvUp, UpBilinear, at_least_f32, kaiming_init
 
 
 def soft_binning(logits: jnp.ndarray, bin_centers: jnp.ndarray) -> jnp.ndarray:
     """Expected depth from [B,H,W,n_bins] logits and [n_bins] centers."""
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    probs = jax.nn.softmax(at_least_f32(logits), axis=-1)
     return jnp.sum(probs * bin_centers[None, None, None, :], axis=-1, keepdims=True)
 
 
@@ -71,8 +71,8 @@ class CoarseDepthUNet(nn.Module):
         x = x.astype(self.dtype)
         f = SharedEncoder(self.base_channels, train=train, dtype=self.dtype)(x)
         h = _Decoder(self.base_channels, train, self.dtype)(f)
-        logits = nn.Conv(self.n_bins, (1, 1), dtype=self.dtype,
-                         kernel_init=kaiming_init())(h).astype(jnp.float32)
+        logits = at_least_f32(nn.Conv(self.n_bins, (1, 1), dtype=self.dtype,
+                                      kernel_init=kaiming_init())(h))
         logits = _resize_bilinear_to(logits, self.output_size)
         depth = soft_binning(logits, bin_centers)
         return logits, depth
@@ -100,8 +100,9 @@ class CoarseDepthLite(nn.Module):
             h = ConvUp(w, use_bias=True, kernel_init=kaiming_init(), dtype=self.dtype)(h)
             h = BatchNorm(use_running_average=not train, dtype=self.dtype)(h)
             h = nn.relu(h)
-        logits = nn.Conv(self.n_bins, (3, 3), padding="SAME", dtype=self.dtype,
-                         kernel_init=kaiming_init())(h).astype(jnp.float32)
+        logits = at_least_f32(nn.Conv(self.n_bins, (3, 3), padding="SAME",
+                                      dtype=self.dtype,
+                                      kernel_init=kaiming_init())(h))
         logits = _resize_bilinear_to(logits, self.output_size)
         depth = soft_binning(logits, bin_centers)
         return logits, depth
@@ -126,8 +127,8 @@ class _OffsetFusion(nn.Module):
                     kernel_init=kaiming_init())(h)
         h = BatchNorm(use_running_average=not self.train, dtype=self.dtype)(h)
         h = nn.relu(h)
-        return nn.Conv(1, (1, 1), dtype=self.dtype,
-                       kernel_init=kaiming_init())(h).astype(jnp.float32)
+        return at_least_f32(nn.Conv(1, (1, 1), dtype=self.dtype,
+                                    kernel_init=kaiming_init())(h))
 
 
 class CoarseWithOffsetModel(nn.Module):
@@ -146,7 +147,7 @@ class CoarseWithOffsetModel(nn.Module):
         ch = _Decoder(c, train, self.dtype, name="coarse_decoder")(f)
         logits = nn.Conv(self.n_bins, (1, 1), dtype=self.dtype,
                          kernel_init=kaiming_init(), name="coarse_head")(ch)
-        logits = _resize_bilinear_to(logits.astype(jnp.float32), self.output_size)
+        logits = _resize_bilinear_to(at_least_f32(logits), self.output_size)
         coarse = soft_binning(logits, bin_centers)
 
         oh = _Decoder(c, train, self.dtype, name="offset_decoder")(f)
@@ -171,8 +172,9 @@ class DualRegressionModel(nn.Module):
         f = SharedEncoder(c, train=train, dtype=self.dtype)(x)
 
         ch = _Decoder(c, train, self.dtype, name="coarse_decoder")(f)
-        coarse = nn.Conv(1, (1, 1), dtype=self.dtype, kernel_init=kaiming_init(),
-                         name="coarse_head")(ch).astype(jnp.float32)
+        coarse = at_least_f32(nn.Conv(1, (1, 1), dtype=self.dtype,
+                                      kernel_init=kaiming_init(),
+                                      name="coarse_head")(ch))
         coarse = _resize_bilinear_to(coarse, self.output_size)
 
         oh = _Decoder(c, train, self.dtype, name="offset_decoder")(f)

@@ -36,6 +36,13 @@ def kaiming_init():
     return nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+def at_least_f32(x):
+    """Cast to fp32 for numerics-critical math (heads, softmax statistics)
+    without ever DOWNcasting — the float64 gradient-parity tests run the
+    whole model in f64 and a hard .astype(float32) would truncate them."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 class BatchNorm(nn.Module):
     """BatchNorm2d twin: momentum 0.9 (torch 0.1), eps 1e-5, affine."""
 
@@ -160,7 +167,8 @@ def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
     b, h, w, c = x.shape
     oh, ow = 2 * h, 2 * w
     scale = jnp.array(
-        [(oh - 1) / max(h - 1, 1), (ow - 1) / max(w - 1, 1)], dtype=jnp.float32
+        [(oh - 1) / max(h - 1, 1), (ow - 1) / max(w - 1, 1)],
+        dtype=jnp.promote_types(x.dtype, jnp.float32),
     )
     translation = 0.5 - 0.5 * scale
     return jax.image.scale_and_translate(

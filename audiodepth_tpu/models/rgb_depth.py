@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .base_residual import SharedEncoder
-from .layers import UpBilinear, kaiming_init
+from .layers import UpBilinear, at_least_f32, kaiming_init
 
 
 class RGBDepthNet(nn.Module):
@@ -37,7 +37,7 @@ class RGBDepthNet(nn.Module):
         d1 = UpBilinear(c, train=train, dtype=self.dtype)(d2, f["x1"])
 
         depth = nn.Conv(1, (1, 1), dtype=self.dtype, kernel_init=kaiming_init())(d1)
-        depth = depth.astype(jnp.float32)
+        depth = at_least_f32(depth)
         if depth.shape[1] != self.output_size:
             depth = jax.image.resize(
                 depth, (depth.shape[0], self.output_size, self.output_size, 1),

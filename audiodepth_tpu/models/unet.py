@@ -26,7 +26,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvDown, ConvUp, make_norm
+from .layers import ConvDown, ConvUp, at_least_f32, make_norm
 
 
 class UNetGenerator(nn.Module):
@@ -85,7 +85,7 @@ class UNetGenerator(nn.Module):
         h = jnp.concatenate([skips[0], h], axis=-1)
         h = nn.relu(h)
         h = ConvUp(self.output_nc, use_bias=True, dtype=self.dtype)(h)
-        h = h.astype(jnp.float32)
+        h = at_least_f32(h)
         if self.depth_norm:
             return nn.sigmoid(h)
         return nn.relu(h)

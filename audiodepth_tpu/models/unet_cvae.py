@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvDown, ConvUp, make_norm
+from .layers import ConvDown, ConvUp, at_least_f32, make_norm
 from .unet import UNetGenerator
 
 
@@ -35,7 +35,7 @@ class VAEBottleneck(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         b = h.shape[0]
         c = h.shape[-1]
-        flat = h.reshape(b, -1).astype(jnp.float32)
+        flat = at_least_f32(h.reshape(b, -1))
         mu = nn.Dense(self.latent_dim, name="fc_mu")(flat)
         logvar = nn.Dense(self.latent_dim, name="fc_logvar")(flat)
         if sample:
@@ -104,7 +104,7 @@ class UNetCVAE(nn.Module):
         h = jnp.concatenate([skips[0], h], axis=-1)
         h = nn.relu(h)
         h = ConvUp(self.output_nc, use_bias=True, dtype=self.dtype)(h)
-        h = h.astype(jnp.float32)
+        h = at_least_f32(h)
         if not self.depth_norm:
             h = nn.relu(h)
         return h, kl

@@ -46,12 +46,15 @@ def blockwise_cross_attention(
     nblocks = q.shape[1] // bq
     qb = q.reshape(b, nblocks, bq, dk).transpose(1, 0, 2, 3)  # [nb, B, bq, dk]
 
+    # softmax statistics at ≥fp32 (never DOWNcast — f64 parity tests)
+    acc_t = jnp.promote_types(q.dtype, jnp.float32)
+
     def one_block(q_tile):
         scores = jnp.einsum(
-            "bqd,bkd->bqk", q_tile.astype(jnp.float32), k.astype(jnp.float32)
+            "bqd,bkd->bqk", q_tile.astype(acc_t), k.astype(acc_t)
         ) * scale
         attn = jax.nn.softmax(scores, axis=-1)
-        return jnp.einsum("bqk,bkd->bqd", attn, v.astype(jnp.float32))
+        return jnp.einsum("bqk,bkd->bqd", attn, v.astype(acc_t))
 
     out = jax.lax.map(one_block, qb)                           # [nb, B, bq, dv]
     out = out.transpose(1, 0, 2, 3).reshape(b, nblocks * bq, dv)

@@ -84,6 +84,11 @@ class _Builder:
     torch tensor either became a flax leaf or was explicitly discarded.
     """
 
+    # Leaf dtype for the produced flax tree. fp32 is the production value
+    # (reference checkpoints are fp32); the float64 gradient-parity tests
+    # override it so the transplant is bit-exact in f64.
+    param_dtype = np.float32
+
     def __init__(self, sd: Dict[str, np.ndarray]):
         self.sd = {k: np.asarray(v) for k, v in sd.items()}
         self.params: Dict[tuple, np.ndarray] = {}
@@ -100,7 +105,7 @@ class _Builder:
         path = tuple(fpath.split("/"))
         if path in tree:
             raise ValueError(f"duplicate flax path {fpath}")
-        tree[path] = np.asarray(arr, dtype=np.float32)
+        tree[path] = np.asarray(arr, dtype=self.param_dtype)
 
     # ---- primitives -----------------------------------------------------
     def conv(self, fpath: str, tprefix: str, bias: bool = True):

@@ -53,6 +53,20 @@ def load_ref_models():
     return ns
 
 
+def load_ref_file(name: str):
+    """Load a top-level reference module (e.g. utils_loss) by file (cached)."""
+    key = f"file:{name}"
+    if key not in _cache:
+        spec = importlib.util.spec_from_file_location(
+            f"ref_{name}", REFERENCE_ROOT / f"{name}.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"ref_{name}"] = mod
+        spec.loader.exec_module(mod)
+        _cache[key] = mod
+    return _cache[key]
+
+
 def ref_cfg(depth_norm: bool = True):
     """Minimal cfg stand-in for reference constructors (cfg.dataset.depth_norm)."""
     return SimpleNamespace(dataset=SimpleNamespace(depth_norm=depth_norm))
