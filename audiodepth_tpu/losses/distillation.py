@@ -24,6 +24,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..models.layers import at_least_f32
 from .basic import l1_loss, l2_loss
 
 
@@ -32,8 +33,8 @@ def feature_cosine_distance(audio_feats: Dict, rgb_feats: Dict) -> jnp.ndarray:
     count = 0
     for level in ("x1", "x2", "x3", "x4", "x5"):
         if level in audio_feats and level in rgb_feats:
-            a = audio_feats[level].astype(jnp.float32)
-            r = rgb_feats[level].astype(jnp.float32)
+            a = at_least_f32(audio_feats[level])
+            r = at_least_f32(rgb_feats[level])
             b = a.shape[0]
             # NHWC → [B, C, HW]: normalize each channel's spatial vector
             a2 = a.reshape(b, -1, a.shape[-1]).transpose(0, 2, 1)
@@ -48,8 +49,8 @@ def feature_cosine_distance(audio_feats: Dict, rgb_feats: Dict) -> jnp.ndarray:
 
 def bin_distribution_kl(audio_logits, rgb_logits, temperature: float = 4.0):
     """KL over spatial-mean logits with temperature, batchmean reduction."""
-    a = jnp.mean(audio_logits.astype(jnp.float32), axis=(1, 2)) / temperature
-    r = jnp.mean(rgb_logits.astype(jnp.float32), axis=(1, 2)) / temperature
+    a = jnp.mean(at_least_f32(audio_logits), axis=(1, 2)) / temperature
+    r = jnp.mean(at_least_f32(rgb_logits), axis=(1, 2)) / temperature
     log_p_audio = jax.nn.log_softmax(a, axis=1)
     p_rgb = jax.nn.softmax(r, axis=1)
     # F.kl_div(input=log q, target=p, batchmean) = mean_B Σ p (log p − log q)
@@ -72,7 +73,7 @@ def distillation_loss(
     rgb = output.get("rgb")
 
     loss_task = l1_loss(audio["final_depth"], gt, mask)
-    w = mask.astype(jnp.float32)
+    w = at_least_f32(mask)
     loss_sparse = jnp.sum(jnp.abs(audio["residual"]) * w) / jnp.maximum(jnp.sum(w), 1.0)
 
     if rgb is not None:

@@ -94,11 +94,16 @@ def _flax_combined(pred, gt):
 
 def _grad_state_dict(tm):
     """state_dict with every parameter tensor replaced by its gradient
-    (buffers keep their values so the import spec consumes all keys)."""
+    (buffers keep their values so the import spec consumes all keys).
+
+    Parameters torch never ran (e.g. the cVAE's three registered-but-unused
+    BN modules) have grad=None and become zeros; the import specs either
+    discard those keys or — if the flax twin disagrees that the gradient is
+    zero — the leaf-for-leaf comparison fails, so nothing is hidden."""
     sd = {k: v.detach().cpu().numpy() for k, v in tm.state_dict().items()}
     for name, p in tm.named_parameters():
-        assert p.grad is not None, f"no grad for {name}"
-        sd[name] = p.grad.detach().cpu().numpy()
+        g = p.grad if p.grad is not None else torch.zeros_like(p)
+        sd[name] = g.detach().cpu().numpy()
     return sd
 
 
@@ -250,3 +255,202 @@ def test_base_residual_gradient_parity(f64):
                      )(variables["params"])
     tgrads = it.import_base_residual(_grad_state_dict(tm))
     _assert_grads_match(tgrads["params"], grads)
+
+
+def test_rgb_depth_gradient_parity(f64):
+    """RGB teacher net (rgb_depth_model.py:80-218): meters head, train-mode
+    BN, reference Combined criterion."""
+    ref = load_ref_models().rgb_depth_model
+    tm = ref.RGBDepthNet(base_channels=16, bilinear=True, output_size=32,
+                         max_depth=MAX_DEPTH).double()
+    x = _rand(2, 3, 32, 32, seed=40)
+    gt = _depth_target((2, 1, 32, 32), seed=41, lo=0.5, hi=MAX_DEPTH)
+    _warm_bn(tm, torch.from_numpy(x))
+
+    from audiodepth_tpu.models.rgb_depth import RGBDepthNet
+
+    fm = RGBDepthNet(base_channels=16, max_depth=MAX_DEPTH, output_size=32,
+                     dtype=jnp.float64)
+    variables = it.import_rgb_depth(
+        {k: v.detach().cpu().numpy() for k, v in tm.state_dict().items()})
+    gtj = _nhwc(gt)
+
+    def apply_loss(vs):
+        out, _ = fm.apply(vs, _nhwc(x), train=True, mutable=["batch_stats"])
+        return _flax_combined(out, gtj)
+
+    _run_both(tm, apply_loss, variables, x, gt)
+    grads = jax.grad(lambda p: apply_loss({"params": p,
+                                           "batch_stats": variables["batch_stats"]})
+                     )(variables["params"])
+    _assert_grads_match(it.import_rgb_depth(_grad_state_dict(tm))["params"], grads)
+
+
+def test_unet_cvae_gradient_parity(f64, monkeypatch):
+    """cVAE UNet (unet_cvae_model.py:8-294): recon + 0.1·KL objective,
+    train-mode BN, deterministic posterior mean (eps = 0 on both sides) so
+    the reparametrized latent path and both bottleneck Dense layers carry
+    checked gradients (fc_logvar via the KL term)."""
+    ref = load_ref_models().unet_cvae_model
+    base = load_ref_models().unetbaseline_model
+    tm = ref.UnetGeneratorVAE(ref_cfg(depth_norm=True), 2, 1, 7, 8,
+                              norm_layer=functools.partial(
+                                  torch.nn.BatchNorm2d, affine=True,
+                                  track_running_stats=True),
+                              latent_dim=16).double()
+    base.init_weights(tm, "normal", 0.02)
+    x = _rand(2, 2, 128, 128, seed=50)
+    gt = _depth_target((2, 1, 128, 128), seed=51, lo=0.02, hi=1.0)
+    _warm_bn(tm, torch.from_numpy(x))
+    monkeypatch.setattr(torch, "randn_like", lambda t: torch.zeros_like(t))
+    tm.train()
+    tm.zero_grad()
+    out, kl_t = tm(torch.from_numpy(x))
+    loss_t = _torch_combined(out * MAX_DEPTH,
+                             torch.from_numpy(gt) * MAX_DEPTH) + 0.1 * kl_t
+    loss_t.backward()
+
+    from audiodepth_tpu.models.unet_cvae import UNetCVAE
+
+    fm = UNetCVAE(input_nc=2, output_nc=1, num_downs=7, ngf=8,
+                  depth_norm=True, latent_dim=16, dtype=jnp.float64)
+    variables = it.import_unet_cvae(
+        {k: v.detach().cpu().numpy() for k, v in tm.state_dict().items()},
+        num_downs=7)
+    gtj = _nhwc(gt)
+
+    def apply_loss(vs):
+        (o, kl), _ = fm.apply(vs, _nhwc(x), train=True, sample=False,
+                              mutable=["batch_stats"])
+        return _flax_combined(o * MAX_DEPTH, gtj * MAX_DEPTH) + 0.1 * kl
+
+    loss_f = float(apply_loss(variables))
+    assert abs(loss_f - float(loss_t)) < 1e-10 * max(1.0, abs(float(loss_t)))
+    grads = jax.grad(lambda p: apply_loss({"params": p,
+                                           "batch_stats": variables["batch_stats"]})
+                     )(variables["params"])
+    tgrads = it.import_unet_cvae(_grad_state_dict(tm), num_downs=7)
+    _assert_grads_match(tgrads["params"], grads)
+
+
+def test_adabins_distillation_gradient_parity(f64):
+    """The full 5-term distillation objective through BOTH twin nets, using
+    the GENUINE reference criterion (utils_distillation_loss.py:149-230).
+
+    This is the sharpest frozen-teacher check possible: the reference
+    detaches every teacher quantity inside the loss, this framework
+    stop_gradients the teacher subtree inside the model — the test proves
+    the two mechanisms produce the identical gradient field (zero over the
+    whole rgb branch, residual_head updated through the audio path only).
+    Eval-mode BN/dropout on both sides (the bin predictor's Dropout(0.1)
+    would otherwise inject framework-specific randomness)."""
+    ref = load_ref_models().adabins_distillation_model
+    tm = ref.AdaBinsDistillationModel(n_bins=16, base_channels=64,
+                                      output_size=32,
+                                      max_depth=MAX_DEPTH).double()
+    audio = _rand(2, 2, 32, 32, seed=60)
+    rgb_x = _rand(2, 3, 32, 32, seed=61)
+    gt = _depth_target((2, 1, 32, 32), seed=62, lo=0.5, hi=MAX_DEPTH)
+    tm.train()
+    with torch.no_grad():
+        for _ in range(2):
+            tm.forward_audio(torch.from_numpy(audio))
+            tm.forward_rgb(torch.from_numpy(rgb_x))
+    tm.eval()
+    tm.zero_grad()
+    tout = tm(torch.from_numpy(audio), rgb=torch.from_numpy(rgb_x),
+              mode="train")
+    crit = load_ref_file("utils_distillation_loss").DistillationLoss(
+        lambda_task=2.0, lambda_response=0.3, lambda_feature=0.2,
+        lambda_bin=0.05, lambda_sparse=0.1, temperature=4.0)
+    gt_t = torch.from_numpy(gt)
+    loss_t, _ = crit(tout, gt_t, valid_mask=gt_t > 0)
+    loss_t.backward()
+
+    from audiodepth_tpu.losses.distillation import distillation_loss
+    from audiodepth_tpu.models.adabins import AdaBinsDistillationModel
+
+    fm = AdaBinsDistillationModel(n_bins=16, base_channels=64,
+                                  output_size=32, max_depth=MAX_DEPTH,
+                                  dtype=jnp.float64)
+    variables = it.import_adabins(
+        {k: v.detach().cpu().numpy() for k, v in tm.state_dict().items()})
+    gtj = _nhwc(gt)
+
+    def apply_loss(vs):
+        out = fm.apply(vs, _nhwc(audio), _nhwc(rgb_x), train=False,
+                       mode="train")
+        total, _ = distillation_loss(
+            out, gtj, gtj > 0, lambda_task=2.0, lambda_response=0.3,
+            lambda_feature=0.2, lambda_bin=0.05, lambda_sparse=0.1,
+            temperature=4.0)
+        return total
+
+    loss_f = float(apply_loss(variables))
+    assert abs(loss_f - float(loss_t)) < 1e-10 * max(1.0, abs(float(loss_t)))
+    grads = jax.grad(lambda p: apply_loss({"params": p,
+                                           "batch_stats": variables["batch_stats"]})
+                     )(variables["params"])
+    tgrads = it.import_adabins(_grad_state_dict(tm))
+    _assert_grads_match(tgrads["params"], grads)
+
+
+@pytest.mark.parametrize("variant", ["unet", "lite", "offset", "dual"])
+def test_coarse_gradient_parity(f64, variant):
+    """All four coarse variants (coarse_depth_model.py:86-287,591-994):
+    soft-binning gradients to the bin logits, and — for offset/dual — the
+    detach-gated offset fusion (the coarse branch must receive NO gradient
+    through the fusion input on either side)."""
+    ref = load_ref_models().coarse_depth_model
+
+    from audiodepth_tpu.models import coarse_depth as cd
+
+    x = _rand(2, 2, 32, 32, seed=70)
+    gt = _depth_target((2, 1, 32, 32), seed=71, lo=0.5, hi=MAX_DEPTH)
+    centers = np.linspace(0.5, 29.5, 8)
+    kw = dict(input_channels=2, base_channels=16, output_size=32)
+    if variant == "unet":
+        tm = ref.CoarseDepthUNet(n_bins=8, **kw).double()
+        fm = cd.CoarseDepthUNet(n_bins=8, dtype=jnp.float64, **kw)
+        importer = it.import_coarse_unet
+    elif variant == "lite":
+        tm = ref.CoarseDepthLite(n_bins=8, **kw).double()
+        fm = cd.CoarseDepthLite(n_bins=8, dtype=jnp.float64, **kw)
+        importer = it.import_coarse_lite
+    elif variant == "offset":
+        tm = ref.CoarseWithOffsetModel(n_bins=8, **kw).double()
+        fm = cd.CoarseWithOffsetModel(n_bins=8, dtype=jnp.float64, **kw)
+        importer = it.import_coarse_offset
+    else:
+        tm = ref.DualRegressionModel(**kw).double()
+        fm = cd.DualRegressionModel(dtype=jnp.float64, **kw)
+        importer = it.import_dual_regression
+    if variant != "dual":
+        tm.set_bin_centers(torch.from_numpy(centers))
+    _warm_bn(tm, torch.from_numpy(x))
+    tm.train()
+    tm.zero_grad()
+    touts = tm(torch.from_numpy(x))
+    loss_t = _torch_combined(touts[-1], torch.from_numpy(gt))
+    loss_t.backward()
+
+    variables = importer(
+        {k: v.detach().cpu().numpy() for k, v in tm.state_dict().items()})
+    gtj = _nhwc(gt)
+    fc = jnp.asarray(centers)
+
+    def apply_loss(vs):
+        if variant == "dual":
+            outs, _ = fm.apply(vs, _nhwc(x), train=True,
+                               mutable=["batch_stats"])
+        else:
+            outs, _ = fm.apply(vs, _nhwc(x), fc, train=True,
+                               mutable=["batch_stats"])
+        return _flax_combined(outs[-1], gtj)
+
+    loss_f = float(apply_loss(variables))
+    assert abs(loss_f - float(loss_t)) < 1e-10 * max(1.0, abs(float(loss_t)))
+    grads = jax.grad(lambda p: apply_loss({"params": p,
+                                           "batch_stats": variables["batch_stats"]})
+                     )(variables["params"])
+    _assert_grads_match(importer(_grad_state_dict(tm))["params"], grads)
