@@ -40,7 +40,15 @@ class ModeConfig:
     epochs: int = 200
     learning_rate: float = 0.002
     optimizer: str = "AdamW"                # Adam | AdamW | SGD
-    weight_decay: float = 0.0
+    # torch.optim.AdamW's default — every reference AdamW path uses 0.01,
+    # either implicitly (train.py:474) or explicitly
+    # (train_binaural_attention.py:321-326, train_coarse_depth.py:356).
+    weight_decay: float = 0.01
+    # Reference drivers split on SGD momentum: 0.9 in the binaural/rgb/
+    # adabins/coarse scripts (train_binaural_attention.py:327-331), torch's
+    # default 0.0 in train.py:476 / train_cvae.py:347 /
+    # train_base_residual.py:288. Default to the majority; override per run.
+    sgd_momentum: float = 0.9
     criterion: str = "Combined"             # L1 | SIlog | Combined
     l1_weight: float = 0.237
     silog_weight: float = 0.637

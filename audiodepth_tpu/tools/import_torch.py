@@ -105,7 +105,11 @@ class _Builder:
         path = tuple(fpath.split("/"))
         if path in tree:
             raise ValueError(f"duplicate flax path {fpath}")
-        tree[path] = np.asarray(arr, dtype=self.param_dtype)
+        # ALWAYS copy: tensor.numpy() aliases live torch parameter storage,
+        # so without a copy an in-place torch optimizer step would silently
+        # rewrite the imported flax leaves (np.asarray is a no-op when the
+        # dtype already matches). Caught by the trajectory-parity test.
+        tree[path] = np.array(arr, dtype=self.param_dtype)
 
     # ---- primitives -----------------------------------------------------
     def conv(self, fpath: str, tprefix: str, bias: bool = True):

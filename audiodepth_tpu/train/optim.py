@@ -2,10 +2,19 @@
 
 Mirrors the reference driver settings: Adam/AdamW/SGD selection
 (train.py:471-476), global-norm gradient clipping at 1.0 used by every
-trainer (train.py:689 etc.), AdamW weight_decay=0.01 in the binaural script
-(train_binaural_attention.py:313-347), cosine annealing to 1% of lr
-(train_adabins_distillation.py:389-391), and CosineAnnealingWarmRestarts
-(T_0=20, T_mult=2) for the coarse family (train_coarse_depth.py:363-365).
+trainer (train.py:689 etc.), AdamW weight_decay=0.01 — torch's default,
+which every reference AdamW path inherits or sets explicitly
+(train.py:474, train_binaural_attention.py:321-326) — cosine annealing to
+1% of lr (train_adabins_distillation.py:389-391), and
+CosineAnnealingWarmRestarts (T_0=20, T_mult=2) for the coarse family
+(train_coarse_depth.py:363-365).
+
+The full update rule (clip → AdamW with decoupled decay → schedule) is
+pinned against torch by the K-step trajectory-parity test
+(tests/test_trajectory_parity.py): transplanted weights stepped K times by
+both frameworks in float64 agree leaf-for-leaf. The one known seam is
+torch's clip_grad_norm_ epsilon (scale = max_norm/(total+1e-6) vs optax's
+max_norm/total), a ~1e-6 relative difference on clipped steps only.
 """
 
 from __future__ import annotations
@@ -54,7 +63,7 @@ def make_optimizer(mode: ModeConfig, steps_per_epoch: int = 1) -> optax.Gradient
     elif name == "adamw":
         opt = optax.adamw(sched, weight_decay=mode.weight_decay)
     elif name == "sgd":
-        opt = optax.sgd(sched, momentum=0.9)
+        opt = optax.sgd(sched, momentum=mode.sgd_momentum or None)
     else:
         raise ValueError(f"unknown optimizer {mode.optimizer!r}")
     return optax.chain(optax.clip_by_global_norm(mode.grad_clip_norm), opt)
