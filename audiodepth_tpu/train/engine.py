@@ -119,6 +119,12 @@ class Engine:
 
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
+        # diagnostics/visualization forward (first val batch each
+        # validation): jitted once so it compiles on first use instead of
+        # dispatching op-by-op every validation epoch
+        self._predict_meters = jax.jit(
+            lambda params, stats, batch: task.predict_meters(params, stats, batch)
+        )
 
     # ------------------------------------------------------------------
     def init_state(self, rng: jax.Array, sample_batch) -> TrainState:
@@ -261,7 +267,7 @@ class Engine:
                     from ..data.codec import decode_batch as _decode
 
                     first_dev = _decode(self.put_batch(first), self._depth_units)
-                    pred = np.asarray(self.task.predict_meters(
+                    pred = np.asarray(self._predict_meters(
                         state.params, state.batch_stats, first_dev
                     ))
                     if (pred < 0).any():

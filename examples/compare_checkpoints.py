@@ -63,7 +63,7 @@ def evaluate_entry(label, family, path, dataset, overrides, num_samples, bs):
 
     means = eng.evaluate(state, ds.batches(bs, shuffle=False, drop_last=False))
     return {"Model": label, "ABS_REL": means["abs_rel"], "RMSE": means["rmse"],
-            "MAE": means["mae"], "Delta1": means["a1"]}
+            "MAE": means["mae"], "Delta1": means["delta1"]}
 
 
 def main(argv=None):

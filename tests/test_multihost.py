@@ -37,7 +37,10 @@ def test_two_process_ddp_grad():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=660)
+            # the two workers compile the full Engine + DP×SP attention +
+            # ragged eval from scratch (~8 min alone); leave headroom for a
+            # loaded host so the suite doesn't flake under contention
+            out, _ = p.communicate(timeout=1500)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

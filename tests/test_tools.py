@@ -74,3 +74,59 @@ def test_preprocess_cli_end_to_end(tmp_path):
 
 def test_feature_contract():
     assert verify_compatibility(base_channels=8, size=64, verbose=False)
+
+
+def test_compare_checkpoints_csv(tmp_path):
+    """examples/compare_checkpoints.py: the depth_model_comparison CSV twin.
+
+    Trains one tiny checkpoint, exports it as a reference-format .pth, and
+    compares BOTH restore branches (orbax dir + .pth import) over the same
+    val slice — the two rows must agree since they are the same weights.
+    """
+    import csv
+    import importlib.util
+    import os
+    import sys
+
+    from audiodepth_tpu.cli.train import main as train_main
+    from audiodepth_tpu.tools.export_torch import main as export_main
+
+    ckpt = str(tmp_path / "ck")
+    train_main([
+        "--dataset", "synthetic", "--model", "unet_baseline",
+        "--experiment_name", "cmpsmoke",
+        "--generator", "unet_128", "--ngf", "4",
+        "--epochs", "1", "--batch_size", "4", "--num_samples", "8",
+        "--saving_checkpoints", "1", "--compute_dtype", "float32",
+        "--ckpt_dir", ckpt, "--log_dir", str(tmp_path / "lg"),
+    ])
+    exp = os.listdir(ckpt)[0]
+    pth = str(tmp_path / "m.pth")
+    export_main([
+        "--dataset", "synthetic", "--model", "unet_baseline",
+        "--generator", "unet_128", "--ngf", "4",
+        "--ckpt_dir", ckpt, "--experiment_name", exp, "--out", pth,
+    ])
+
+    spec = importlib.util.spec_from_file_location(
+        "compare_checkpoints",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "compare_checkpoints.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out_csv = str(tmp_path / "cmp.csv")
+    ov = "model.generator=unet_128,model.ngf=4"
+    rows = mod.main([
+        "--dataset", "synthetic", "--num_samples", "8", "--batch_size", "4",
+        "--out", out_csv,
+        "--entry", f"orbax:unet_baseline:{ckpt}/{exp}:{ov}",
+        "--entry", f"torch-pth:unet_baseline:{pth}:{ov}",
+    ])
+    assert [r["Model"] for r in rows] == ["orbax", "torch-pth"]
+    # same weights through both restore paths -> same metrics
+    assert abs(rows[0]["RMSE"] - rows[1]["RMSE"]) < 1e-4 * max(1.0, rows[0]["RMSE"])
+    with open(out_csv) as f:
+        got = list(csv.DictReader(f))
+    assert list(got[0].keys()) == ["Model", "ABS_REL", "RMSE", "MAE", "Delta1"]
+    assert len(got) == 2

@@ -188,3 +188,86 @@ def test_unet_adamw_trajectory_parity(f64, schedule):
             np.abs(r).max()), f"non-constant Bessel ratio at {k}"
         assert np.min(np.abs(admissible - np.median(r))) < 1e-9, (
             f"Bessel ratio {np.median(r)} not an admissible n/(n-1) at {k}")
+
+
+@pytest.mark.parametrize(
+    "optimizer,momentum",
+    [("Adam", None), ("SGD", 0.0), ("SGD", 0.9)],
+    ids=["adam", "sgd", "sgd-momentum0.9"],
+)
+def test_unet_other_optimizer_trajectory_parity(f64, optimizer, momentum):
+    """Adam (train.py:472) and SGD with the split momentum convention.
+
+    The reference drivers disagree on SGD momentum: train.py:476 /
+    train_cvae / train_base_residual use torch's default 0.0 while
+    binaural/rgb/adabins/coarse pass momentum=0.9 — hence the
+    `sgd_momentum` config field. Both conventions (and torch's Adam with
+    its default weight_decay=0) must reproduce the torch trajectory
+    leaf-for-leaf.
+    """
+    ref = load_ref_models().unetbaseline_model
+    tm = ref.UnetGenerator(
+        ref_cfg(depth_norm=True), 2, 1, 5, 8,
+        norm_layer=functools.partial(
+            torch.nn.BatchNorm2d, affine=True, track_running_stats=True),
+    ).double()
+    ref.init_weights(tm, "normal", 0.02)
+    sd0 = {k: v.detach().cpu().numpy() for k, v in tm.state_dict().items()}
+
+    from audiodepth_tpu.models.unet import UNetGenerator
+
+    fm = UNetGenerator(input_nc=2, output_nc=1, num_downs=5, ngf=8,
+                       depth_norm=True, dtype=jnp.float64)
+    variables = it.import_unet(sd0, num_downs=5)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    mode = dataclasses.replace(
+        load_config("batvisionv2").mode,
+        optimizer=optimizer, learning_rate=LR, grad_clip_norm=1.0,
+        lr_schedule="constant", epochs=K_STEPS,
+        sgd_momentum=(momentum if momentum is not None else 0.9),
+    )
+    tx = make_optimizer(mode, steps_per_epoch=1)
+    opt_state = tx.init(params)
+
+    if optimizer == "Adam":
+        topt = torch.optim.Adam(tm.parameters(), lr=LR)
+    else:
+        topt = torch.optim.SGD(tm.parameters(), lr=LR, momentum=momentum)
+
+    def flax_loss(p, st, xj, gj):
+        out, upd = fm.apply({"params": p, "batch_stats": st}, xj,
+                            train=True, mutable=["batch_stats"])
+        return (
+            _flax_combined(out * MAX_DEPTH, gj * MAX_DEPTH),
+            upd["batch_stats"],
+        )
+
+    grad_fn = jax.jit(jax.value_and_grad(flax_loss, has_aux=True))
+
+    clipped_any = False
+    tm.train()
+    for step in range(K_STEPS):
+        x = _rand(2, 2, 32, 32, seed=300 + step)
+        gt = _depth_target((2, 1, 32, 32), seed=400 + step, lo=0.02, hi=1.0)
+
+        topt.zero_grad()
+        pred = tm(torch.from_numpy(x))
+        loss_t = _torch_combined(pred * MAX_DEPTH,
+                                 torch.from_numpy(gt) * MAX_DEPTH)
+        loss_t.backward()
+        total = float(torch.nn.utils.clip_grad_norm_(tm.parameters(), 1.0))
+        clipped_any |= total > 1.0
+        topt.step()
+
+        (loss_f, stats), grads = grad_fn(params, stats, _nhwc(x), _nhwc(gt))
+        assert abs(float(loss_f) - float(loss_t.detach())) < 1e-10 * max(
+            1.0, abs(float(loss_t.detach())))
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    tol = 2e-6 if clipped_any else 1e-8
+    tvars = it.import_unet(
+        {k: v.detach().cpu().numpy() for k, v in tm.state_dict().items()},
+        num_downs=5)
+    _assert_trees_match(tvars["params"], params, tol, f"{optimizer} param")
