@@ -62,6 +62,9 @@ def main(argv=None):
                    help="include full gt/pred tensors in the stats artifact")
     args = p.parse_args(argv)
 
+    from ..compilation_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache()
     from ..configs import experiment_name, load_config
     from ..ckpt import CheckpointManager
     from ..data.batvision import make_dataset

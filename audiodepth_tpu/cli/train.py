@@ -166,6 +166,9 @@ def config_from_args(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from ..compilation_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache()
     from ..ckpt import BestTracker, CheckpointManager
     from ..configs import experiment_name, to_dict
     from ..data.batvision import make_dataset

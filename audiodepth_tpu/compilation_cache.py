@@ -1,0 +1,31 @@
+"""Persistent XLA compilation-cache setup.
+
+The flagship graphs here (UNet-256 train step at bs=256, the full-width
+binaural step) cost minutes of XLA compile time on a slow host window.
+Pointing JAX at an on-disk cache makes every repeat invocation of the
+bench / CLI / driver entry start timing in seconds instead. Safe to call
+any time before the first compilation; harmless if the backend declines
+the cache (the try/except keeps exotic platforms working).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+_DEFAULT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+)
+
+
+def enable(cache_dir: str | None = None,
+           min_compile_secs: float = 10.0) -> None:
+    """Enable the persistent compilation cache (idempotent)."""
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          cache_dir or _DEFAULT_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          float(min_compile_secs))
+    except Exception:
+        pass

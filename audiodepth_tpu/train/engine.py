@@ -126,21 +126,28 @@ class Engine:
             lambda params, stats, batch: task.predict_meters(params, stats, batch)
         )
 
+        def init_fn(rng, batch):
+            variables = task.init(rng, batch)
+            params = variables["params"]
+            return TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                batch_stats=variables.get("batch_stats"),
+                opt_state=self.tx.init(params),
+            )
+
+        # ONE compiled graph for model + optimizer init: eager init is
+        # hundreds of op-by-op dispatches, which on a remote-tunnel platform
+        # costs minutes of round trips before training even starts
+        self._init_fn = jax.jit(init_fn)
+
     # ------------------------------------------------------------------
     def init_state(self, rng: jax.Array, sample_batch) -> TrainState:
         with self._mesh_ctx():
             return self._init_state(rng, sample_batch)
 
     def _init_state(self, rng: jax.Array, sample_batch) -> TrainState:
-        variables = self.task.init(rng, sample_batch)
-        params = variables["params"]
-        batch_stats = variables.get("batch_stats")
-        state = TrainState(
-            step=jnp.zeros((), jnp.int32),
-            params=params,
-            batch_stats=batch_stats,
-            opt_state=self.tx.init(params),
-        )
+        state = self._init_fn(rng, sample_batch)
         if self.mesh is not None:
             state = replicate(state, self.mesh)
         return state

@@ -19,10 +19,19 @@ host-streamed pipeline number is recorded alongside in bench_details.json.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+from audiodepth_tpu.compilation_cache import enable as _enable_compile_cache
+
+# Persistent XLA compilation cache: the big compiles here (UNet-256 train
+# step at bs=256, full-width binaural step) cost minutes each on a slow
+# host window; a repo-local cache makes repeat bench runs start timing in
+# seconds.
+_enable_compile_cache()
 
 from audiodepth_tpu.configs import load_config
 from audiodepth_tpu.data.synthetic import SyntheticEchoDataset
@@ -91,8 +100,6 @@ def bench_native_decode(tmpdir, n_samples=64, batch_size=64):
     Measures the host-side data pipeline the streamed path depends on
     (pairs decoded per second through native/adepth_io.cpp's thread pool).
     """
-    import os
-
     import numpy as np
 
     from audiodepth_tpu.data import native_io
@@ -131,7 +138,22 @@ def bench_native_decode(tmpdir, n_samples=64, batch_size=64):
     return n_batches * batch_size / dt
 
 
+def _stage(label, _t0=[None]):
+    """Progress/timing line to stderr — lets a driver log show where a slow
+    run is spending its wall clock (the tunnel link can stretch any stage)."""
+    import sys
+
+    now = time.perf_counter()
+    if _t0[0] is not None:
+        print(f"# stage {label}: +{now - _t0[0]:.1f}s", file=sys.stderr,
+              flush=True)
+    else:
+        print(f"# stage {label}", file=sys.stderr, flush=True)
+    _t0[0] = now
+
+
 def main():
+    _stage("start")
     batch_size = 256
     cfg = load_config(
         "batvisionv2",
@@ -141,15 +163,20 @@ def main():
         overrides={"mode.batch_size": batch_size},
     )
     n_steps = 20
-    ds = SyntheticEchoDataset(cfg, num_samples=batch_size * 4, seed=0)
+    # 2 distinct batches is enough: the headline path gathers shuffled rows
+    # from HBM (corpus size does not change the measured step), and halving
+    # the corpus halves the one-time upload over the slow host link
+    ds = SyntheticEchoDataset(cfg, num_samples=batch_size * 2, seed=0)
     batch = next(ds.batches(batch_size, shuffle=False))
 
     from audiodepth_tpu.data.codec import encode_batch
     from audiodepth_tpu.data.prefetch import device_prefetch
 
+    _stage("dataset+config")
     task = make_task(cfg)
     eng = Engine(cfg, task)
     state = eng.init_state(jax.random.PRNGKey(0), batch)
+    _stage("init_state")
 
     depth_units = 1.0 if cfg.dataset.depth_norm else float(cfg.dataset.max_depth)
 
@@ -159,6 +186,7 @@ def main():
     for _ in range(3):
         state, m = eng.train_step(state, warm)
     _ = float(m["loss"])
+    _stage("train-step warmup/compile")
 
     # realistic loop: streamed batches each step, compact transport codec,
     # H2D overlapped via prefetch. Encode once up front (host-side prep is
@@ -177,6 +205,7 @@ def main():
     # force a real sync: fetch the loss value to host
     _ = float(m["loss"])
     streamed = n_steps * batch_size / (time.perf_counter() - t0)
+    _stage("streamed loop")
 
     # HEADLINE path: device-cached dataset (the TPU-native data path for
     # BatVision-scale corpora — data/device_cache.py: the split is uploaded
@@ -191,6 +220,7 @@ def main():
         cached_batches.extend(cache.batches(batch_size, shuffle=True, seed=seed))
         seed += 1
     cached_batches = cached_batches[:n_steps]
+    _stage("device-cache upload")
     # warm the gather+step path
     state, m = eng.train_step(state, cached_batches[0])
     _ = float(m["loss"])
@@ -199,6 +229,7 @@ def main():
         state, m = eng.train_step(state, b)
     _ = float(m["loss"])
     dt = time.perf_counter() - t0
+    _stage("cached timed loop")
 
     n_chips = jax.device_count()
     pairs_per_sec_chip = n_steps * batch_size / dt / n_chips
@@ -206,6 +237,7 @@ def main():
     # MFU: compiled-step FLOPs ÷ wall ÷ chip peak (VERDICT r1 #7)
     unet_flops = step_flops(eng, state, cached_batches[0])
     unet_mfu = mfu(unet_flops, dt / n_steps)
+    _stage("unet cost_analysis")
 
     # secondary metric: p50 latency of the fused waveform→depth inference
     # graph at bs=1 (the BASELINE.json p50 target) → bench_details.json
@@ -226,6 +258,7 @@ def main():
         _ = float(out[0, 0, 0, 0])
         lats.append(time.perf_counter() - t0)
     p50_ms = float(_np.percentile(lats, 50) * 1e3)
+    _stage("p50 inference")
 
     # ------------------------------------------------------------------
     # binaural attention config: pairs/s + MFU (the O(N²) flagship; Pallas
@@ -264,6 +297,7 @@ def main():
             bin_flops += flash_attention_flops(bcfg, bin_bs)
         bin_mfu = mfu(bin_flops, bdt)
         del bstate, beng
+        _stage("binaural bench")
     except Exception as e:  # pragma: no cover - bench resilience
         print(f"# binaural bench skipped: {e}")
 
@@ -277,6 +311,7 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"# native decode bench skipped: {e}")
 
+    _stage("native decode")
     with open("bench_details.json", "w") as f:
         json.dump(
             {
