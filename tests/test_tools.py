@@ -130,3 +130,47 @@ def test_compare_checkpoints_csv(tmp_path):
         got = list(csv.DictReader(f))
     assert list(got[0].keys()) == ["Model", "ABS_REL", "RMSE", "MAE", "Delta1"]
     assert len(got) == 2
+
+
+def test_profile_step_categorize_and_report():
+    """profile_step: HLO-op bucketing + report formatting (pure halves).
+
+    The capture half needs real hardware (validated on-chip, RESULTS.md
+    "On-chip profile of the HEADLINE UNet-256 step"); the categorizer and
+    report are pinned here on representative HLO expressions from that
+    trace.
+    """
+    from audiodepth_tpu.tools.profile_step import categorize, report
+
+    cases = {
+        "%convert_reduce_fusion.6 = (f32[256]{0:T(256)S(1)}, f32[256]"
+        "{0:T(256)S(1)}, bf16[256,32,32,256]{3,0,2,1}) fusion(...)":
+            "conv+BN-stat multi-output fusions",
+        "%compare_select_fusion = bf16[256,128,128,128]{0,3,2,1} fusion(...)":
+            "conv+leaky/maxpool select fusions",
+        "%fusion.393 = (f32[]{:T(128)}, bf16[4,4,256,64]{2,3,1,0}) "
+        "fusion(...)": "filter-gradient conv fusions",
+        "%fusion.132 = (f32[]{:T(128)}, f32[]{:T(128)}) fusion(...)":
+            "loss/grad-norm scalar reductions",
+        "%reverse.9 = bf16[256,128,128,64]{0,3,2,1} reverse(...)":
+            "reverse (convT-grad data movement)",
+        "%copy-done.3 = bf16[4,4,256,64]{2,3,1,0} copy-done(...)":
+            "copies/transposes",
+        "%convolution.1 = bf16[256,256,2,256]{3,1,2,0} convolution(...)":
+            "standalone convolutions",
+        "%custom-call.7 = bf16[128,16384,128] custom-call(...), "
+        "custom_call_target=\"tpu_custom_call\" (flash_fwd)":
+            "Pallas custom calls",
+        "%fusion.38 = bf16[256,128,128,64]{0,3,2,1} fusion(...)":
+            "other conv/elementwise fusions",
+    }
+    for name, want in cases.items():
+        assert categorize(name) == want, (name, categorize(name), want)
+
+    cats = {"conv+BN-stat multi-output fusions": int(21.4e9 * 8),
+            "copies/transposes": int(3.2e9 * 8)}
+    txt = report({"jit_train_step": int(82.7e9 * 8)}, cats,
+                 {"%fusion.1 = ...": int(1e9 * 8)}, steps=8, top=1)
+    assert "jit_train_step: 82.70 ms/step" in txt
+    assert "conv+BN-stat multi-output fusions" in txt
+    assert "87.0%" in txt  # 21.4 / 24.6
