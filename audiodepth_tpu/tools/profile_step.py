@@ -29,9 +29,12 @@ from collections import defaultdict
 _CATEGORIES = (
     (r"%convert_reduce_fusion", "conv+BN-stat multi-output fusions"),
     (r"%compare_select_fusion", "conv+leaky/maxpool select fusions"),
-    (r"%fusion(\.\d+)? = \(f32\[\]\{[^}]*\}, bf16\[4,4",
+    # (f32[] grad-norm partial, bf16[kh,kw,ci,co] filter grad) fusions
+    (r"%fusion(\.\d+)? = \(f32\[\]\{[^}]*\}, bf16\[\d,\d,",
      "filter-gradient conv fusions"),
-    (r"%fusion(\.\d+)? = \(f32\[\]", "loss/grad-norm scalar reductions"),
+    # all-scalar outputs: loss terms / grad-norm reductions
+    (r"%fusion(\.\d+)? = \(?(f32|bf16)\[\]",
+     "loss/grad-norm scalar reductions"),
     (r"%reverse", "reverse (convT-grad data movement)"),
     (r"%(copy|slice)", "copies/transposes"),
     (r"%convolution", "standalone convolutions"),
@@ -119,7 +122,9 @@ def capture(args) -> str:
     cfg = load_config(args.dataset, "train", "profile", args.model,
                       overrides=overrides)
     bs = args.batch_size
-    ds = SyntheticEchoDataset(cfg, num_samples=bs * 2, seed=0)
+    with_image = args.model in ("rgb_depth", "adabins_distillation")
+    ds = SyntheticEchoDataset(cfg, num_samples=bs * 2, seed=0,
+                              with_image=with_image)
     batch = next(ds.batches(bs, shuffle=False))
     task = make_task(cfg)
     eng = Engine(cfg, task)
