@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--recon", default=None,
                    choices=[None, "silog", "l1", "l2", "frequency_aware"],
                    help="base_residual reconstruction term")
+    p.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="rematerialize the encoder (binaural/adabins). "
+                        "Default on (needed to fit binaural bs>=64 in 16 GB "
+                        "HBM); --no-remat is ~8%% faster when the batch fits "
+                        "(bs<=32: 94 vs 87 pairs/s, RESULTS.md)")
     # sparse-depth coarse workflow (train_coarse_depth.py:133-645):
     # train against preprocessed sparse_depth_{method}/ targets
     p.add_argument("--sparse_method", default=None,
@@ -154,6 +160,7 @@ def config_from_args(args):
         "loss_type": args.loss_type,
         "temperature": args.temperature,
         "recon": args.recon,
+        "remat": args.remat,
     }.items() if v is not None}
     if extra_updates:
         from ..configs import apply_overrides

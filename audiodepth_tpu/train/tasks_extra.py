@@ -258,6 +258,7 @@ class AdaBinsDistillationTask(Task):
             output_size=cfg.dataset.images_size,
             max_depth=self.max_depth,
             dtype=_compute_dtype(cfg),
+            remat=bool(extra.get("remat", True)),
         )
 
     def init(self, rng, batch):

@@ -267,10 +267,16 @@ def main():
     cache_nbytes = cache.nbytes()
     try:
         del state, cached_batches, cache, host_batches  # free HBM
-        bin_bs = 64
+        # throughput-optimal config: the N² attention cost per pair is
+        # batch-independent, so larger batches only add remat overhead —
+        # bs=32 fits in 16 GB WITHOUT remat at 94 pairs/s vs bs=64
+        # remat-on at 82 (ablation in RESULTS.md; the reference cannot run
+        # ANY batch size of this model — ≈68 GB materialized attention)
+        bin_bs = 32
         bcfg = load_config(
             "batvisionv2", "train", "bench", "binaural_attention",
-            overrides={"mode.batch_size": bin_bs},
+            overrides={"mode.batch_size": bin_bs,
+                       "model.extra": {"remat": False}},
         )
         bds = SyntheticEchoDataset(bcfg, num_samples=bin_bs, seed=0)
         braw = next(bds.batches(bin_bs, shuffle=False))

@@ -313,3 +313,26 @@ def test_architecture_dump_and_device_warning(tmp_path, capsys):
     assert "UNetGenerator" in arch
     assert "ConvDown" in arch and "ConvUp" in arch
     assert "params:" in arch
+
+
+def test_remat_flag_reaches_models():
+    """--remat/--no-remat plumbs through model.extra to both remat users.
+
+    Default stays ON (binaural bs>=64 needs it to fit 16 GB HBM);
+    --no-remat is the throughput-optimal setting when the batch fits
+    (RESULTS.md remat ablation: 94.1 vs 87.4 pairs/s at bs=32).
+    """
+    from audiodepth_tpu.cli.train import build_parser, config_from_args
+    from audiodepth_tpu.models import make_task
+
+    def build(argv):
+        return make_task(config_from_args(build_parser().parse_args(argv)))
+
+    base = ["--dataset", "synthetic", "--base_channels", "8",
+            "--batch_size", "2"]
+    assert build(["--model", "binaural_attention", "--no-remat"] + base
+                 ).model.remat is False
+    assert build(["--model", "adabins_distillation", "--no-remat"] + base
+                 ).model.remat is False
+    assert build(["--model", "binaural_attention"] + base).model.remat is True
+    assert build(["--model", "adabins_distillation"] + base).model.remat is True
