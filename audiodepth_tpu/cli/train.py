@@ -74,9 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="rematerialize the encoder (binaural/adabins). "
-                        "Default on (needed to fit binaural bs>=64 in 16 GB "
-                        "HBM); --no-remat is ~8%% faster when the batch fits "
-                        "(bs<=32: 94 vs 87 pairs/s, RESULTS.md)")
+                        "binaural defaults ON (needed to fit bs>=64 in 16 GB "
+                        "HBM; --no-remat is ~8%% faster when the batch fits). "
+                        "adabins defaults OFF (fits through bs=64; remat "
+                        "costs 28-33%%). Ablations in RESULTS.md")
     # sparse-depth coarse workflow (train_coarse_depth.py:133-645):
     # train against preprocessed sparse_depth_{method}/ targets
     p.add_argument("--sparse_method", default=None,

@@ -129,9 +129,11 @@ class AdaBinsDistillationModel(nn.Module):
     base_channels: int = 64
     output_size: int = 256
     max_depth: float = 30.0
-    # twin networks double activation memory; remat keeps 16GB chips happy
+    # twin networks double activation memory, but bs<=64 fits a 16 GB chip
+    # without remat and remat costs 28-33% (RESULTS.md ablation) — so the
+    # default is OFF; pass remat=True for larger batches
     # (SURVEY hard part 7: "consider remat for the teacher")
-    remat: bool = True
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def _branch(self, name: str, in_ch: int, train: bool):

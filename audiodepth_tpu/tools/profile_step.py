@@ -128,12 +128,24 @@ def capture(args) -> str:
     batch = next(ds.batches(bs, shuffle=False))
     task = make_task(cfg)
     eng = Engine(cfg, task)
-    state = eng.init_state(jax.random.PRNGKey(0), batch)
     du = 1.0 if cfg.dataset.depth_norm else float(cfg.dataset.max_depth)
-    cache = DeviceDatasetCache(ds, max_depth_units=du)
-    bts = (list(cache.batches(bs, shuffle=True, seed=2)) * args.steps)[
-        : max(args.steps, 3)
-    ]
+    if args.model == "coarse_depth":
+        # bin targets are attached host-side (cli/train.py does the same);
+        # profile a fixed device-resident batch instead of the cache
+        from ..data.bins import add_bins_to_batch
+        from ..data.codec import encode_batch
+
+        batch = add_bins_to_batch(batch, task.bin_edges,
+                                  cfg.dataset.max_depth,
+                                  cfg.dataset.depth_norm)
+        state = eng.init_state(jax.random.PRNGKey(0), batch)
+        bts = [eng.put_batch(encode_batch(batch, du))] * max(args.steps, 3)
+    else:
+        state = eng.init_state(jax.random.PRNGKey(0), batch)
+        cache = DeviceDatasetCache(ds, max_depth_units=du)
+        bts = (list(cache.batches(bs, shuffle=True, seed=2)) * args.steps)[
+            : max(args.steps, 3)
+        ]
     for b in bts[:3]:  # warm/compile outside the trace
         state, m = eng.train_step(state, b)
     _ = float(m["loss"])

@@ -258,7 +258,10 @@ class AdaBinsDistillationTask(Task):
             output_size=cfg.dataset.images_size,
             max_depth=self.max_depth,
             dtype=_compute_dtype(cfg),
-            remat=bool(extra.get("remat", True)),
+            # default OFF: twin nets fit 16 GB without remat at every
+            # practical batch (bs<=64 measured), and remat costs 28-33%
+            # (RESULTS.md adabins remat ablation)
+            remat=bool(extra.get("remat", False)),
         )
 
     def init(self, rng, batch):

@@ -318,9 +318,10 @@ def test_architecture_dump_and_device_warning(tmp_path, capsys):
 def test_remat_flag_reaches_models():
     """--remat/--no-remat plumbs through model.extra to both remat users.
 
-    Default stays ON (binaural bs>=64 needs it to fit 16 GB HBM);
-    --no-remat is the throughput-optimal setting when the batch fits
-    (RESULTS.md remat ablation: 94.1 vs 87.4 pairs/s at bs=32).
+    Defaults differ per family (RESULTS.md remat ablations): binaural ON
+    (bs>=64 needs it to fit 16 GB HBM; off is 94.1 vs 87.4 pairs/s at
+    bs=32), adabins OFF (fits through bs=64 without it; remat costs
+    28-33%: 142 vs 111 pairs/s at bs=32).
     """
     from audiodepth_tpu.cli.train import build_parser, config_from_args
     from audiodepth_tpu.models import make_task
@@ -332,7 +333,7 @@ def test_remat_flag_reaches_models():
             "--batch_size", "2"]
     assert build(["--model", "binaural_attention", "--no-remat"] + base
                  ).model.remat is False
-    assert build(["--model", "adabins_distillation", "--no-remat"] + base
-                 ).model.remat is False
+    assert build(["--model", "adabins_distillation", "--remat"] + base
+                 ).model.remat is True
     assert build(["--model", "binaural_attention"] + base).model.remat is True
-    assert build(["--model", "adabins_distillation"] + base).model.remat is True
+    assert build(["--model", "adabins_distillation"] + base).model.remat is False
