@@ -40,6 +40,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--l1_weight", type=float, default=None)
     p.add_argument("--silog_weight", type=float, default=None)
     p.add_argument("--silog_lambda", type=float, default=None)
+    p.add_argument("--use_silog", type=lambda x: str(x).lower() == "true",
+                   default=None,
+                   help="true|false: enable/disable the SIlog term; any "
+                        "mention auto-enables Combined (train.py:99-101); "
+                        "false zeroes silog_weight")
+    p.add_argument("--audio_format", default=None,
+                   choices=[None, "spectrogram", "mel_spectrogram", "waveform"],
+                   help="overrides the dataset preset (train.py:69-71; "
+                        "mel is rejected on BV1)")
+    p.add_argument("--max_depth", type=float, default=None,
+                   help="max depth in meters (train.py:74-76)")
+    p.add_argument("--validation", type=lambda x: str(x).lower() == "true",
+                   default=None, help="true|false (train.py:111)")
+    p.add_argument("--validation_iter", type=int, default=None,
+                   help="validate every N epochs (train.py:113)")
+    p.add_argument("--weight_decay", type=float, default=None,
+                   help="AdamW decoupled weight decay "
+                        "(train_binaural_attention.py:125 default 0.01)")
     p.add_argument("--lr_schedule", default=None,
                    choices=[None, "constant", "cosine", "step", "warm_restarts"])
     p.add_argument("--ngf", type=int, default=None)
@@ -71,6 +89,58 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--recon", default=None,
                    choices=[None, "silog", "l1", "l2", "frequency_aware"],
                    help="base_residual reconstruction term")
+    # per-family loss weights, same names + defaults as the reference
+    # drivers' argparse (train_base_residual.py:136-142,
+    # train_rgb_depth.py:126-128, train_adabins_distillation.py:179-187,
+    # train_coarse_depth.py:148-186)
+    p.add_argument("--lambda_recon", type=float, default=None,
+                   help="base_residual recon weight (default 1.0); also the "
+                        "binaural edge-aware recon weight")
+    p.add_argument("--lambda_base", type=float, default=None,
+                   help="base_residual structural-guidance weight (default 1.2)")
+    p.add_argument("--lambda_sparse", type=float, default=None,
+                   help="residual sparsity weight (base_residual 0.05, "
+                        "adabins 0.1)")
+    p.add_argument("--lowpass_kernel", type=int, default=None,
+                   help="base_residual guidance avg-pool kernel (default 16)")
+    p.add_argument("--lambda_edge", type=float, default=None,
+                   help="binaural edge-aware loss edge weight (default 0.2)")
+    p.add_argument("--lambda_smooth", type=float, default=None,
+                   help="smoothness weight (binaural edge-aware 0.1, "
+                        "rgb_depth 0.1)")
+    p.add_argument("--lambda_l1", type=float, default=None,
+                   help="rgb_depth L1 weight (default 1.0)")
+    p.add_argument("--lambda_task", type=float, default=None,
+                   help="adabins task-loss weight (default 1.0)")
+    p.add_argument("--lambda_response", type=float, default=None,
+                   help="adabins response-distillation weight (default 0.5)")
+    p.add_argument("--lambda_feature", type=float, default=None,
+                   help="adabins feature-distillation weight (default 0.3)")
+    p.add_argument("--lambda_bin", type=float, default=None,
+                   help="adabins bin-distribution weight (default 0.2)")
+    p.add_argument("--freeze_rgb", action="store_true",
+                   help="accepted for reference-CLI compatibility; the RGB "
+                        "teacher is ALWAYS stop-gradient-frozen here, which "
+                        "is trajectory-identical to both reference settings "
+                        "(its teacher runs under no_grad either way and "
+                        "grad-less params are skipped by torch optimizers)")
+    # coarse-family weights (train_coarse_depth.py:148-186)
+    p.add_argument("--ce_weight", type=float, default=None,
+                   help="coarse CE weight (default 1.0)")
+    p.add_argument("--regression_weight", type=float, default=None,
+                   help="coarse regression weight (default 0.5)")
+    p.add_argument("--offset_reg_weight", type=float, default=None,
+                   help="coarse offset regularization (default 0.01)")
+    p.add_argument("--coarse_weight", type=float, default=None,
+                   help="dual_reg coarse-term weight (default 1.0)")
+    p.add_argument("--final_weight", type=float, default=None,
+                   help="dual_reg final-term weight (default 1.0)")
+    p.add_argument("--sid_alpha", type=float, default=None,
+                   help="SID bin-spacing alpha (default 0.6)")
+    p.add_argument("--soft_ce_sigma", type=float, default=None,
+                   help="soft-CE Gaussian sigma (default 2.0)")
+    p.add_argument("--use_focal", action="store_true", default=None,
+                   help="focal loss instead of soft-CE (coarse unet/lite)")
     p.add_argument("--remat", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="rematerialize the encoder (binaural/adabins). "
@@ -90,6 +160,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train the baseline on camera images (3ch) instead of "
                         "audio — BV2 only (train.py:322-387)")
     p.add_argument("--holdout_locations", nargs="*", default=None)
+    # reference sequence-holdout spelling (train.py:76-82): both named
+    # sequences are blacklisted from train/val and get holdout eval loaders
+    p.add_argument("--sequence_holdout", action="store_true",
+                   help="alias for the reference flag; holdout sequences "
+                        "come from --holdout_test_seq/--holdout_eval_seq "
+                        "or --holdout_locations")
+    p.add_argument("--holdout_test_seq", default=None,
+                   help="sequence held out of training (train.py:78)")
+    p.add_argument("--holdout_eval_seq", default=None,
+                   help="sequence held out + evaluated per validation "
+                        "(train.py:80)")
     p.add_argument("--checkpoints", type=int, default=None,
                    help="epoch to resume from (default: auto-latest)")
     p.add_argument("--resume", action="store_true")
@@ -101,6 +182,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="per-validation visualization PNGs (train.py:861-871)")
     p.add_argument("--no_visualize", action="store_true")
     p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--wandb_project", default="batvision-depth-estimation",
+                   help="W&B project (train.py:124)")
+    p.add_argument("--wandb_entity", default=None,
+                   help="W&B entity/team (train.py:126)")
+    p.add_argument("--wandb_mode", default=None,
+                   choices=[None, "online", "offline", "disabled"],
+                   help="W&B logging mode (train.py:128)")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace of the first "
                         "post-compile epoch to this directory")
@@ -114,7 +202,38 @@ def build_parser() -> argparse.ArgumentParser:
                    help="upload the whole split to HBM once and gather "
                         "batches on-device (fastest for BatVision-scale "
                         "corpora; see data/device_cache.py)")
+    p.add_argument("--override", action="append", default=None,
+                   metavar="SECTION.KEY=VALUE",
+                   help="generic dotted config override, repeatable "
+                        "(e.g. --override mode.threads=8 "
+                        "--override model.extra.depth_min=0.2); applied "
+                        "after every named flag")
     return p
+
+
+def _parse_override(spec: str):
+    """'section.key=value' → (dotted_key, coerced_value).
+
+    Same scalar coercion as the reference's YAML fallback parser
+    (config_loader.py:8-41): bool/int/float/null, else string.
+    """
+    if "=" not in spec:
+        raise SystemExit(f"--override expects SECTION.KEY=VALUE, got {spec!r}")
+    key, raw = spec.split("=", 1)
+    low = raw.strip().lower()
+    if low in ("true", "false"):
+        value = low == "true"
+    elif low in ("null", "none", ""):
+        value = None
+    else:
+        try:
+            value = int(raw)
+        except ValueError:
+            try:
+                value = float(raw)
+            except ValueError:
+                value = raw
+    return key.strip(), value
 
 
 def config_from_args(args):
@@ -138,6 +257,11 @@ def config_from_args(args):
         "model.model_type": args.model_type,
         "model.attention_levels": args.attention_levels,
         "dataset.dataset_dir": args.dataset_dir,
+        "dataset.audio_format": args.audio_format,
+        "dataset.max_depth": args.max_depth,
+        "mode.validation": args.validation,
+        "mode.validation_iter": args.validation_iter,
+        "mode.weight_decay": args.weight_decay,
         "mode.l1_weight": args.l1_weight,
         "mode.silog_weight": args.silog_weight,
         "mode.silog_lambda": args.silog_lambda,
@@ -145,12 +269,15 @@ def config_from_args(args):
         "model.latent_dim": args.latent_dim,
     }
     overrides.update({k: v for k, v in direct.items() if v is not None})
-    # smart criterion: any explicit loss weight implies Combined
-    # (train.py:394-399)
+    # smart criterion: any explicit loss weight (or --use_silog) implies
+    # Combined (train.py:394-399); --use_silog false zeroes the SIlog term
     if args.criterion is not None:
         overrides["mode.criterion"] = args.criterion
-    elif any(v is not None for v in (args.l1_weight, args.silog_weight, args.silog_lambda)):
+    elif any(v is not None for v in (args.l1_weight, args.silog_weight,
+                                     args.silog_lambda, args.use_silog)):
         overrides["mode.criterion"] = "Combined"
+    if args.use_silog is False:
+        overrides["mode.silog_weight"] = 0.0
     cfg = load_config(args.dataset, "train", args.experiment_name, args.model,
                       overrides=overrides)
     # family knobs living in model.extra (merged, not replaced, so YAML conf
@@ -162,6 +289,26 @@ def config_from_args(args):
         "temperature": args.temperature,
         "recon": args.recon,
         "remat": args.remat,
+        # per-family loss weights (reference driver argparse names)
+        "lambda_recon": args.lambda_recon,
+        "lambda_base": args.lambda_base,
+        "lambda_sparse": args.lambda_sparse,
+        "lowpass_kernel": args.lowpass_kernel,
+        "lambda_edge": args.lambda_edge,
+        "lambda_smooth": args.lambda_smooth,
+        "lambda_l1": args.lambda_l1,
+        "lambda_task": args.lambda_task,
+        "lambda_response": args.lambda_response,
+        "lambda_feature": args.lambda_feature,
+        "lambda_bin": args.lambda_bin,
+        "ce_weight": args.ce_weight,
+        "regression_weight": args.regression_weight,
+        "offset_reg_weight": args.offset_reg_weight,
+        "coarse_weight": args.coarse_weight,
+        "final_weight": args.final_weight,
+        "sid_alpha": args.sid_alpha,
+        "soft_ce_sigma": args.soft_ce_sigma,
+        "use_focal": args.use_focal,
     }.items() if v is not None}
     if extra_updates:
         from ..configs import apply_overrides
@@ -169,7 +316,39 @@ def config_from_args(args):
         merged = dict(cfg.model.extra)
         merged.update(extra_updates)
         cfg = apply_overrides(cfg, {"model.extra": merged})
+    # generic dotted overrides land last so they can touch anything,
+    # including model.extra.* subkeys
+    if args.override:
+        from ..configs import apply_overrides
+
+        plain, extra = {}, {}
+        for spec in args.override:
+            key, value = _parse_override(spec)
+            if key.startswith("model.extra."):
+                extra[key[len("model.extra."):]] = value
+            else:
+                plain[key] = value
+        if extra:
+            merged = dict(cfg.model.extra)
+            merged.update(extra)
+            plain["model.extra"] = merged
+        cfg = apply_overrides(cfg, plain)
     return cfg
+
+
+def fold_holdout_args(args) -> None:
+    """Fold the reference's sequence-holdout spelling into holdout_locations.
+
+    train.py:76-82: both named sequences are blacklisted from train/val;
+    the eval seq additionally gets a holdout eval loader — ours builds one
+    per holdout location, which covers both roles.
+    """
+    seq_holdouts = [s for s in (args.holdout_test_seq, args.holdout_eval_seq) if s]
+    if seq_holdouts:
+        args.holdout_locations = list(args.holdout_locations or []) + seq_holdouts
+    elif args.sequence_holdout and not args.holdout_locations:
+        raise SystemExit("--sequence_holdout needs --holdout_test_seq/"
+                         "--holdout_eval_seq or --holdout_locations")
 
 
 def main(argv=None):
@@ -192,7 +371,12 @@ def main(argv=None):
         try:
             import wandb
 
-            wandb.init(project="batvision-depth-estimation", allow_val_change=True)
+            init_kwargs = {"project": args.wandb_project, "allow_val_change": True}
+            if args.wandb_entity:
+                init_kwargs["entity"] = args.wandb_entity
+            if args.wandb_mode:
+                init_kwargs["mode"] = args.wandb_mode
+            wandb.init(**init_kwargs)
             for key, value in dict(wandb.config).items():
                 if hasattr(args, key) and value is not None:
                     setattr(args, key, value)
@@ -201,6 +385,7 @@ def main(argv=None):
             print(f"[train] wandb unavailable ({e}); continuing without")
 
     cfg = config_from_args(args)
+    fold_holdout_args(args)
     if args.eval_img:
         if cfg.dataset.name == "batvisionv1":
             raise SystemExit("--eval_img is not supported on batvisionv1 "

@@ -21,11 +21,30 @@ _DEFAULT_DIR = os.path.join(
 
 def enable(cache_dir: str | None = None,
            min_compile_secs: float = 10.0) -> None:
-    """Enable the persistent compilation cache (idempotent)."""
+    """Enable the persistent compilation cache (idempotent).
+
+    Skipped when the process is pinned to the CPU platform: XLA:CPU AOT
+    cache keys do not include the host's CPU feature set, so an entry
+    written on one host can SIGILL on another (observed as
+    cpu_aot_loader "machine type ... doesn't match" errors when this VM
+    migrates). TPU executables don't have that problem — the serialized
+    artifact targets the accelerator, not the host.
+    """
     try:
+        if (getattr(jax.config, "jax_platforms", None) or "").strip() == "cpu":
+            return
         jax.config.update("jax_compilation_cache_dir",
                           cache_dir or _DEFAULT_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           float(min_compile_secs))
+    except Exception:
+        pass
+
+
+def disable() -> None:
+    """Turn the persistent cache back off (used when a process that already
+    called enable() later pins itself to the CPU platform)."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
     except Exception:
         pass

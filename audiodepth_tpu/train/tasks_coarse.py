@@ -38,7 +38,24 @@ class CoarseDepthTask(Task):
         self.model_type = cfg.model.model_type
         self.n_bins = int(cfg.model.n_bins)
         self.bin_mode = str(cfg.model.bin_strategy)
-        self.ce_mode = str(extra.get("ce_mode", "soft_ce"))
+        # --use_focal flips soft-CE → focal, exactly the driver's
+        # use_focal/use_soft_ce pairing (train_coarse_depth.py:348-352)
+        if bool(extra.get("use_focal", False)):
+            self.ce_mode = "focal"
+        else:
+            self.ce_mode = str(extra.get("ce_mode", "soft_ce"))
+        # loss weights default to the DRIVER's argparse values
+        # (train_coarse_depth.py:148-186), which its default run passes into
+        # the criteria at :330-352 — including the hybrid path's
+        # regression_weight=0.5 / offset_reg_weight=0.01 / label_smoothing=0.1
+        # (NOT the CoarseOffsetLoss class defaults 1.0/0.1/0.0, which
+        # losses/coarse.py keeps for class-level parity).
+        self.ce_weight = float(extra.get("ce_weight", 1.0))
+        self.regression_weight = float(extra.get("regression_weight", 0.5))
+        self.offset_reg_weight = float(extra.get("offset_reg_weight", 0.01))
+        self.coarse_weight = float(extra.get("coarse_weight", 1.0))
+        self.final_weight = float(extra.get("final_weight", 1.0))
+        self.soft_ce_sigma = float(extra.get("soft_ce_sigma", 2.0))
         dtype = jnp.bfloat16 if cfg.mode.compute_dtype == "bfloat16" else jnp.float32
 
         edges, centers = compute_bin_edges(
@@ -115,17 +132,31 @@ class CoarseDepthTask(Task):
         if self.model_type in ("unet", "lite"):
             logits, depth = out
             loss, parts = coarse_depth_loss(
-                logits, depth, bins, gt, mask, mode=self.ce_mode
+                logits, depth, bins, gt, mask, mode=self.ce_mode,
+                ce_weight=self.ce_weight,
+                regression_weight=self.regression_weight,
+                soft_ce_sigma=self.soft_ce_sigma,
             )
             aux = {"loss": loss, "ce": parts["ce"], "regression": parts["regression"]}
         elif self.model_type == "hybrid":
             logits, coarse, offset, final = out
-            loss, parts = coarse_offset_loss(logits, coarse, offset, final, gt, bins)
+            loss, parts = coarse_offset_loss(
+                logits, coarse, offset, final, gt, bins,
+                ce_weight=self.ce_weight,
+                regression_weight=self.regression_weight,
+                offset_reg_weight=self.offset_reg_weight,
+                label_smoothing=0.1,  # train_coarse_depth.py:342
+            )
             aux = {"loss": loss, "ce": parts["ce"], "regression": parts["regression"],
                    "offset_reg": parts["offset_reg"], "coarse_l1": parts["coarse_l1"]}
         else:  # dual_reg
             coarse, offset, final = out
-            loss, parts = dual_regression_loss(coarse, offset, final, gt)
+            loss, parts = dual_regression_loss(
+                coarse, offset, final, gt,
+                coarse_weight=self.coarse_weight,
+                final_weight=self.final_weight,
+                offset_reg_weight=self.offset_reg_weight,
+            )
             aux = {"loss": loss, "coarse": parts["coarse"], "final": parts["final"],
                    "offset_reg": parts["offset_reg"]}
         return loss, (new_stats, aux)

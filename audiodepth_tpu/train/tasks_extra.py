@@ -51,6 +51,15 @@ class BaseResidualTask(Task):
         self.use_adaptive = bool(extra.get("use_adaptive_loss", True))
         self.warmup_epochs = int(extra.get("warmup_epochs", 50))
         self.recon = str(extra.get("recon", "silog"))
+        # driver-tunable loss weights (train_base_residual.py:136-142
+        # argparse defaults); the adaptive schedule's init points derive
+        # from them exactly as the driver does at :261-269
+        # (recon_init = λ_recon·0.5, base_init = λ_base·2.0).
+        self.lambda_recon = float(extra.get("lambda_recon", 1.0))
+        self.lambda_base = float(extra.get("lambda_base", 1.2))
+        self.lambda_sparse = float(extra.get("lambda_sparse", 0.05))
+        self.lowpass_kernel = int(extra.get("lowpass_kernel", 16))
+        self.silog_lambda = float(extra.get("silog_lambda", 0.5))
         self.model = BaseResidualNet(
             input_channels=cfg.model.input_nc,
             base_channels=cfg.model.base_channels,
@@ -81,13 +90,19 @@ class BaseResidualTask(Task):
                    "sparse": parts["sparse"]}
             return loss, (new_stats, aux)
         if self.use_adaptive:
-            lam_recon, lam_base = adaptive_weights(epoch, self.warmup_epochs)
+            lam_recon, lam_base = adaptive_weights(
+                epoch, self.warmup_epochs,
+                recon_init=self.lambda_recon * 0.5,
+                base_init=self.lambda_base * 2.0,
+            )
         else:
-            lam_recon, lam_base = 1.0, 1.2
+            lam_recon, lam_base = self.lambda_recon, self.lambda_base
         loss, parts = base_residual_loss(
             base, residual, final, gt, mask,
-            lambda_recon=lam_recon, lambda_base=lam_base, lambda_sparse=0.05,
-            recon=self.recon, silog_lambda=0.5,
+            lambda_recon=lam_recon, lambda_base=lam_base,
+            lambda_sparse=self.lambda_sparse,
+            lowpass_kernel=self.lowpass_kernel,
+            recon=self.recon, silog_lambda=self.silog_lambda,
         )
         aux = {"loss": loss, "recon": parts["recon"], "base": parts["base"],
                "sparse": parts["sparse"]}
@@ -119,6 +134,12 @@ class BinauralAttentionTask(Task):
         super().__init__(cfg)
         extra = cfg.model.extra
         self.loss_type = str(extra.get("loss_type", "standard"))
+        # edge-aware loss weights (utils_binaural_attention_loss.py:15
+        # class defaults; the driver's flags are commented out at
+        # train_binaural_attention.py:110-114, so these ARE its defaults)
+        self.lambda_recon = float(extra.get("lambda_recon", 1.0))
+        self.lambda_edge = float(extra.get("lambda_edge", 0.2))
+        self.lambda_smooth = float(extra.get("lambda_smooth", 0.1))
         self.model = BinauralAttentionNet(
             base_channels=cfg.model.base_channels,
             max_depth=self.max_depth,
@@ -140,7 +161,7 @@ class BinauralAttentionTask(Task):
             if self.loss_type == "adaptive":
                 lr_, le_, ls_ = adaptive_binaural_weights(epoch)
             else:
-                lr_, le_, ls_ = 1.0, 0.2, 0.1
+                lr_, le_, ls_ = self.lambda_recon, self.lambda_edge, self.lambda_smooth
             loss, parts = binaural_attention_loss(pred, gt, lr_, le_, ls_)
             aux = {"loss": loss, "recon": parts["recon"], "edge": parts["edge"],
                    "smooth": parts["smooth"]}
@@ -154,6 +175,10 @@ class RGBDepthTask(Task):
 
     def __init__(self, cfg: Config):
         super().__init__(cfg)
+        extra = cfg.model.extra
+        # driver-tunable weights (train_rgb_depth.py:126-128 defaults)
+        self.lambda_l1 = float(extra.get("lambda_l1", 1.0))
+        self.lambda_smooth = float(extra.get("lambda_smooth", 0.1))
         self.model = RGBDepthNet(
             base_channels=cfg.model.base_channels,
             max_depth=self.max_depth,
@@ -168,7 +193,8 @@ class RGBDepthTask(Task):
         x = self.prepare(batch)
         pred, new_stats = self.apply_train(params, batch_stats, x, rng)
         gt = self.to_meters(batch["depth"])
-        loss, parts = rgb_depth_loss(pred, gt)
+        loss, parts = rgb_depth_loss(pred, gt, lambda_l1=self.lambda_l1,
+                                     lambda_smooth=self.lambda_smooth)
         aux = {"loss": loss, "l1": parts["l1"], "smooth": parts["smooth"]}
         return loss, (new_stats, aux)
 
@@ -252,6 +278,16 @@ class AdaBinsDistillationTask(Task):
         self.adaptive = bool(extra.get("use_adaptive_loss", False))
         self.total_epochs = int(cfg.mode.epochs)
         self.temperature = float(extra.get("temperature", 4.0))
+        # default loss weights follow the DRIVER's argparse defaults
+        # (train_adabins_distillation.py:179-187: 1.0/0.5/0.3/0.2/0.1),
+        # which its default run passes into DistillationLoss at :358-365 —
+        # NOT the DistillationLoss class defaults (2.0/0.3/0.2/0.05/0.1,
+        # which losses/distillation.py keeps for class-level parity).
+        self.lambda_task = float(extra.get("lambda_task", 1.0))
+        self.lambda_response = float(extra.get("lambda_response", 0.5))
+        self.lambda_feature = float(extra.get("lambda_feature", 0.3))
+        self.lambda_bin = float(extra.get("lambda_bin", 0.2))
+        self.lambda_sparse = float(extra.get("lambda_sparse", 0.1))
         self.model = AdaBinsDistillationModel(
             n_bins=cfg.model.n_bins,
             base_channels=cfg.model.base_channels,
@@ -306,10 +342,18 @@ class AdaBinsDistillationTask(Task):
                 output, gt, mask,
                 lambda_task=w["task"], lambda_response=w["response"],
                 lambda_feature=w["feature"], lambda_bin=w["bin"],
-                lambda_sparse=0.1, temperature=self.temperature,
+                lambda_sparse=self.lambda_sparse, temperature=self.temperature,
             )
         else:
-            loss, parts = distillation_loss(output, gt, mask, temperature=self.temperature)
+            loss, parts = distillation_loss(
+                output, gt, mask,
+                lambda_task=self.lambda_task,
+                lambda_response=self.lambda_response,
+                lambda_feature=self.lambda_feature,
+                lambda_bin=self.lambda_bin,
+                lambda_sparse=self.lambda_sparse,
+                temperature=self.temperature,
+            )
         aux = {"loss": loss, "task": parts["task"], "response": parts["response"],
                "feature": parts["feature"], "bin": parts["bin"], "sparse": parts["sparse"]}
         return loss, (new_stats, aux)

@@ -337,3 +337,95 @@ def test_remat_flag_reaches_models():
                  ).model.remat is True
     assert build(["--model", "binaural_attention"] + base).model.remat is True
     assert build(["--model", "adabins_distillation"] + base).model.remat is False
+
+
+def test_driver_loss_weight_flags_reach_tasks():
+    """Every reference driver's tunable loss weight is a CLI flag here, with
+    the DRIVER argparse defaults as the task defaults — the reference's
+    default run passes its argparse values into the criteria, NOT the loss
+    classes' own defaults (train_adabins_distillation.py:179-187 vs
+    utils_distillation_loss.py:32-47; train_coarse_depth.py:148-186 vs
+    coarse_depth_model.py:783-790)."""
+    from audiodepth_tpu.models import make_task
+
+    def build(argv):
+        return make_task(config_from_args(build_parser().parse_args(argv)))
+
+    # adabins: driver defaults 1.0/0.5/0.3/0.2/0.1
+    t = build(["--model", "adabins_distillation", "--dataset", "synthetic"])
+    assert (t.lambda_task, t.lambda_response, t.lambda_feature,
+            t.lambda_bin, t.lambda_sparse) == (1.0, 0.5, 0.3, 0.2, 0.1)
+    t = build(["--model", "adabins_distillation", "--dataset", "synthetic",
+               "--lambda_task", "2.0", "--lambda_bin", "0.05"])
+    assert t.lambda_task == 2.0 and t.lambda_bin == 0.05
+
+    # base_residual: λ's + lowpass kernel (train_base_residual.py:136-142)
+    t = build(["--model", "base_residual", "--dataset", "synthetic"])
+    assert (t.lambda_recon, t.lambda_base, t.lambda_sparse,
+            t.lowpass_kernel) == (1.0, 1.2, 0.05, 16)
+    t = build(["--model", "base_residual", "--dataset", "synthetic",
+               "--lambda_base", "0.8", "--lowpass_kernel", "8"])
+    assert t.lambda_base == 0.8 and t.lowpass_kernel == 8
+
+    # binaural edge-aware weights (class defaults; driver flags commented out)
+    t = build(["--model", "binaural_attention", "--dataset", "synthetic",
+               "--base_channels", "8", "--loss_type", "edge_aware",
+               "--lambda_edge", "0.4"])
+    assert t.lambda_edge == 0.4 and t.lambda_smooth == 0.1
+
+    # rgb teacher (train_rgb_depth.py:126-128)
+    t = build(["--model", "rgb_depth", "--dataset", "synthetic",
+               "--lambda_smooth", "0.25"])
+    assert t.lambda_l1 == 1.0 and t.lambda_smooth == 0.25
+
+    # coarse: driver defaults incl. hybrid regression 0.5 / offset_reg 0.01
+    t = build(["--model", "coarse_depth", "--dataset", "synthetic",
+               "--model_type", "hybrid"])
+    assert (t.ce_weight, t.regression_weight, t.offset_reg_weight) == (1.0, 0.5, 0.01)
+    assert t.ce_mode == "soft_ce" and t.soft_ce_sigma == 2.0
+    t = build(["--model", "coarse_depth", "--dataset", "synthetic",
+               "--model_type", "unet", "--use_focal", "--ce_weight", "2.0"])
+    assert t.ce_mode == "focal" and t.ce_weight == 2.0
+
+
+def test_general_reference_flags():
+    """--audio_format/--max_depth/--validation*/--weight_decay/--use_silog
+    and the generic --override escape hatch (train.py:69-113)."""
+    args = build_parser().parse_args([
+        "--dataset", "synthetic", "--audio_format", "spectrogram",
+        "--max_depth", "25", "--validation", "false",
+        "--validation_iter", "5", "--weight_decay", "0.05",
+        "--use_silog", "false",
+        "--override", "model.extra.depth_min=0.2",
+        "--override", "mode.num_threads=8",
+    ])
+    cfg = config_from_args(args)
+    assert cfg.dataset.audio_format == "spectrogram"
+    assert cfg.dataset.max_depth == 25.0
+    assert cfg.mode.validation is False and cfg.mode.validation_iter == 5
+    assert cfg.mode.weight_decay == 0.05
+    # --use_silog auto-enables Combined (train.py:99-101) and false zeroes it
+    assert cfg.mode.criterion == "Combined" and cfg.mode.silog_weight == 0.0
+    assert cfg.model.extra["depth_min"] == 0.2
+    assert cfg.mode.num_threads == 8
+
+    # --use_silog true: Combined with the preset weights kept
+    cfg2 = config_from_args(build_parser().parse_args(
+        ["--dataset", "synthetic", "--use_silog", "true"]))
+    assert cfg2.mode.criterion == "Combined" and cfg2.mode.silog_weight > 0
+
+
+def test_sequence_holdout_aliases():
+    """train.py:76-82 spelling folds into holdout_locations."""
+    from audiodepth_tpu.cli.train import fold_holdout_args
+
+    args = build_parser().parse_args([
+        "--sequence_holdout", "--holdout_test_seq", "Salle_Chevalier",
+        "--holdout_eval_seq", "3rd_Floor_Luxembourg",
+    ])
+    fold_holdout_args(args)
+    assert args.holdout_locations == ["Salle_Chevalier", "3rd_Floor_Luxembourg"]
+
+    bare = build_parser().parse_args(["--sequence_holdout"])
+    with pytest.raises(SystemExit):
+        fold_holdout_args(bare)

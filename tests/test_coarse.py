@@ -16,6 +16,7 @@ from audiodepth_tpu.data.bins import (
 )
 from audiodepth_tpu.data.synthetic import SyntheticEchoDataset
 from audiodepth_tpu.losses.coarse import (
+    coarse_offset_loss,
     focal_loss,
     hard_cross_entropy_loss,
     ordinal_regression_loss,
@@ -137,3 +138,52 @@ def test_add_bins_handles_compact_uint16():
     compact = encode_batch({"depth": depth}, 30.0)
     enc = add_bins_to_batch(compact, edges, 30.0, False)
     np.testing.assert_array_equal(raw["bins"], enc["bins"])
+
+
+def test_hybrid_loss_driver_defaults_match_reference():
+    """Our hybrid coarse loss with the TASK defaults equals the genuine
+    reference CoarseOffsetLoss constructed exactly as the driver does
+    (train_coarse_depth.py:337-343: ce=1.0, regression=0.5,
+    offset_reg=0.01, l1, label_smoothing=0.1)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from ref_torch import load_ref_models, reference_available
+
+    if not reference_available():
+        import pytest
+
+        pytest.skip("/root/reference not present")
+    ref = load_ref_models()
+
+    rng = np.random.default_rng(7)
+    B, H, W, nb = 2, 8, 8, 16
+    logits = rng.normal(size=(B, H, W, nb)).astype(np.float32)
+    coarse = rng.uniform(0, 10, size=(B, H, W, 1)).astype(np.float32)
+    offset = rng.normal(size=(B, H, W, 1)).astype(np.float32)
+    final = np.clip(coarse + offset, 0, 30).astype(np.float32)
+    gt = rng.uniform(0, 10, size=(B, H, W, 1)).astype(np.float32)
+    bins = rng.integers(0, nb, size=(B, H, W))
+
+    ours, parts = coarse_offset_loss(
+        logits, coarse, offset, final, gt, bins,
+        ce_weight=1.0, regression_weight=0.5, offset_reg_weight=0.01,
+        label_smoothing=0.1,
+    )
+
+    crit = ref.coarse_depth_model.CoarseOffsetLoss(
+        ce_weight=1.0, regression_weight=0.5, offset_reg_weight=0.01,
+        regression_loss="l1", label_smoothing=0.1,
+    )
+    tl = torch.as_tensor(logits).permute(0, 3, 1, 2)
+    tc = torch.as_tensor(coarse).permute(0, 3, 1, 2)
+    to = torch.as_tensor(offset).permute(0, 3, 1, 2)
+    tf = torch.as_tensor(final).permute(0, 3, 1, 2)
+    tg = torch.as_tensor(gt).permute(0, 3, 1, 2)
+    tb = torch.as_tensor(bins)
+    want, want_parts = crit(tl, tc, to, tf, tg, tb)
+    np.testing.assert_allclose(float(ours), float(want), rtol=1e-5)
+    np.testing.assert_allclose(float(parts["ce"]), float(want_parts["ce"]), rtol=1e-5)
+    np.testing.assert_allclose(float(parts["offset_reg"]),
+                               float(want_parts["offset_reg"]), rtol=1e-5)
