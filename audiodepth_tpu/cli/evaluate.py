@@ -56,8 +56,14 @@ def main(argv=None):
     p.add_argument("--n_bins", type=int, default=None)
     p.add_argument("--model_type", default=None)
     p.add_argument("--compute_dtype", default=None, choices=[None, "bfloat16", "float32"])
-    p.add_argument("--visualize", action="store_true")
-    p.add_argument("--results_dir", default="./results")
+    p.add_argument("--visualize", action="store_true",
+                   help="dump GT/pred/error PNG grids over the WHOLE eval set, "
+                        "one file per --vis_batch_size samples (test.py:288-320)")
+    p.add_argument("--vis_batch_size", type=int, default=4,
+                   help="samples per visualization PNG (test.py:40)")
+    p.add_argument("--results_dir", default="./results",
+                   help="visualizations land under "
+                        "{results_dir}/{experiment}/{eval_on}/ (test.py:223)")
     p.add_argument("--save_tensors", action="store_true",
                    help="include full gt/pred tensors in the stats artifact")
     args = p.parse_args(argv)
@@ -168,27 +174,55 @@ def _run_eval(args, cfg, task, ds, eng, state, exp, epoch, bs):
     units = 1.0 if cfg.dataset.depth_norm else float(cfg.dataset.max_depth)
     per_sample = {k: [] for k in METRIC_NAMES + ("loss",)}
     gts, preds = [], []
-    for i, batch in enumerate(ds.batches(bs, shuffle=False, drop_last=False)):
+    # full-set visualization: one PNG per --vis_batch_size samples, named
+    # batch_%04d_samples_%04d-%04d.png under {results_dir}/{exp}/{eval_on}
+    # (test.py:222-320; vis tensors are in denormalized meters)
+    vis_dir = os.path.join(args.results_dir, exp, args.eval_on)
+    vis_gts, vis_preds, vis_group, vis_seen = [], [], 0, 0
+    if args.visualize:
+        os.makedirs(vis_dir, exist_ok=True)
+        print(f"visualization output directory: {vis_dir}")
+
+    def _flush_vis():
+        nonlocal vis_gts, vis_preds, vis_group, vis_seen
+        n = len(vis_gts)
+        lo, hi = vis_seen, vis_seen + n - 1
+        path = os.path.join(
+            vis_dir, f"batch_{vis_group:04d}_samples_{lo:04d}-{hi:04d}.png")
+        save_batch_visualization(
+            np.stack(vis_gts), np.stack(vis_preds), path,
+            max_depth=cfg.dataset.max_depth, max_cols=n,
+        )
+        print(f"saved visualization: {path}")
+        vis_gts, vis_preds = [], []
+        vis_group += 1
+        vis_seen = hi + 1
+
+    for batch in ds.batches(bs, shuffle=False, drop_last=False):
         out = eng.eval_step(state, batch)
         for k in per_sample:
             per_sample[k].append(np.asarray(out[k]))
-        need_pred = args.save_tensors or (args.visualize and i == 0)
-        if need_pred:
+        if args.save_tensors or args.visualize:
             dev = decode_batch(eng.put_batch(batch), units)
             pred = np.asarray(task.predict_meters(
                 state.params, state.batch_stats, dev))
             gt_m = np.asarray(dev["depth"])
             if cfg.dataset.depth_norm:
                 gt_m = gt_m * cfg.dataset.max_depth
-        if args.visualize and i == 0:
-            os.makedirs(args.results_dir, exist_ok=True)
-            save_batch_visualization(
-                gt_m, pred, os.path.join(args.results_dir, f"{exp}_eval.png"),
-                max_depth=cfg.dataset.max_depth,
-            )
+        if args.visualize:
+            for j in range(len(gt_m)):
+                vis_gts.append(gt_m[j])
+                vis_preds.append(pred[j])
+                if len(vis_gts) >= args.vis_batch_size:
+                    _flush_vis()
         if args.save_tensors:
             gts.append(gt_m)
             preds.append(pred)
+    if args.visualize and vis_gts:
+        _flush_vis()
+    if args.visualize:
+        print(f"visualizations saved to {vis_dir}: "
+              f"{vis_group} files, {vis_seen} samples")
 
     per_sample = {k: np.concatenate(v) for k, v in per_sample.items()}
     means = {k: float(v.mean()) for k, v in per_sample.items()}

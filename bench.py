@@ -260,6 +260,40 @@ def main():
     p50_ms = float(_np.percentile(lats, 50) * 1e3)
     _stage("p50 inference")
 
+    # p50 of the DEPLOYED artifact: serialize the fused inference graph
+    # (tools/export.py), deserialize the blob, execute the StableHLO —
+    # the path a serving process that never imports this package would run
+    export_p50_ms = None
+    try:
+        from jax import export as _jexport
+
+        from audiodepth_tpu.tools.export import export_inference
+
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        exported, _ = export_inference(cfg, task, variables, batch_size=1)
+        reloaded = _jexport.deserialize(exported.serialize())
+        run = jax.jit(reloaded.call)
+        wave_e = jax.device_put(
+            _np.random.default_rng(0)
+            .standard_normal(reloaded.in_avals[-1].shape)
+            .astype(_np.float32)
+        )
+        out = run(state.params, state.batch_stats, wave_e)
+        _ = float(out[0, 0, 0, 0])
+        elats = []
+        for _ in range(30):
+            t0 = time.perf_counter()
+            out = run(state.params, state.batch_stats, wave_e)
+            _ = float(out[0, 0, 0, 0])
+            elats.append(time.perf_counter() - t0)
+        export_p50_ms = float(_np.percentile(elats, 50) * 1e3)
+        del reloaded, run
+        _stage("export p50")
+    except Exception as e:  # pragma: no cover - bench resilience
+        print(f"# exported-graph p50 skipped: {e}")
+
     # ------------------------------------------------------------------
     # binaural attention config: pairs/s + MFU (the O(N²) flagship; Pallas
     # flash kernels). Guarded so a failure never takes down the headline.
@@ -335,6 +369,9 @@ def main():
                 "streamed_over_host_link_pairs_per_sec": round(streamed, 2),
                 "dataset_cache_bytes": cache_nbytes,
                 "inference_p50_ms_bs1": round(p50_ms, 2),
+                "exported_stablehlo_p50_ms_bs1": (
+                    round(export_p50_ms, 2) if export_p50_ms else None
+                ),
                 "batch_size": batch_size,
                 "n_steps": n_steps,
                 "chips": n_chips,

@@ -46,13 +46,24 @@ def test_train_then_evaluate_synthetic(tmp_path):
         "--eval_on", "val", "--batch_size", "4",
         "--ckpt_dir", ckpt, "--stat_dir", str(tmp_path / "eval"),
         "--visualize", "--results_dir", str(tmp_path / "res"),
+        "--vis_batch_size", "3",
     ])
     assert np.isfinite(means["rmse"])
     # stats artifact exists
     stat_root = tmp_path / "eval" / "synthetic" / "val"
     assert any(f.suffix == ".npz" for f in stat_root.iterdir())
-    # visualization was written
-    assert any(f.suffix == ".png" for f in (tmp_path / "res").iterdir())
+    # full-set visualization: PNG per --vis_batch_size samples across the
+    # WHOLE eval set under {results_dir}/{exp}/{eval_on} (test.py:222-320),
+    # including a ragged final group
+    n_val = len(np.load(stat_root / next(
+        f.name for f in stat_root.iterdir() if f.suffix == ".npz"))["rmse"])
+    vis_dir = tmp_path / "res" / exp_dirs[0] / "val"
+    pngs = sorted(f.name for f in vis_dir.iterdir() if f.suffix == ".png")
+    assert len(pngs) == -(-n_val // 3)
+    assert pngs[0] == "batch_0000_samples_0000-0002.png"
+    last_lo = (len(pngs) - 1) * 3
+    assert pngs[-1] == (
+        f"batch_{len(pngs)-1:04d}_samples_{last_lo:04d}-{n_val-1:04d}.png")
     # jsonl log exists with val metrics
     log_file = next((tmp_path / "lg").glob("*.jsonl"))
     assert "val/rmse" in log_file.read_text()
