@@ -200,8 +200,13 @@ def _run_eval(args, cfg, task, ds, eng, state, exp, epoch, bs):
 
     for batch in ds.batches(bs, shuffle=False, drop_last=False):
         out = eng.eval_step(state, batch)
+        # mesh-backed engines pad ragged tails to a shardable size and
+        # return a _valid row mask (engine.py eval_step); keep only real
+        # rows so pad rows never reach the means/tensors/visualizations
+        valid = np.asarray(out["_valid"]).astype(bool) if "_valid" in out else None
         for k in per_sample:
-            per_sample[k].append(np.asarray(out[k]))
+            v = np.asarray(out[k])
+            per_sample[k].append(v[valid] if valid is not None else v)
         if args.save_tensors or args.visualize:
             dev = decode_batch(eng.put_batch(batch), units)
             pred = np.asarray(task.predict_meters(
@@ -209,6 +214,8 @@ def _run_eval(args, cfg, task, ds, eng, state, exp, epoch, bs):
             gt_m = np.asarray(dev["depth"])
             if cfg.dataset.depth_norm:
                 gt_m = gt_m * cfg.dataset.max_depth
+            if valid is not None:
+                pred, gt_m = pred[valid], gt_m[valid]
         if args.visualize:
             for j in range(len(gt_m)):
                 vis_gts.append(gt_m[j])

@@ -68,6 +68,7 @@ class ModeConfig:
     compute_dtype: str = "bfloat16"         # bfloat16 | float32
     data_axis: str = "data"                 # mesh axis name for DP
     debug_nans: bool = False                # jax.debug_nans (numeric sanitizer)
+    save_on_preempt: bool = True            # SIGTERM → checkpoint last epoch
 
 
 @dataclass(frozen=True)

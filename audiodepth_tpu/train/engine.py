@@ -223,81 +223,127 @@ class Engine:
         train_batches/val_batches are zero-arg callables returning a fresh
         iterator (epoch reshuffles live in the callable).
         """
+        import signal as _signal
         import time as _time
 
         cfg = self.cfg.mode
         epochs = epochs or cfg.epochs
+        # preemption-safe checkpointing (beyond the reference, which loses
+        # everything since the last periodic save): TPU preemption and
+        # maintenance events deliver SIGTERM with a grace window. On
+        # SIGTERM, stop at the next step boundary, DISCARD the partial
+        # epoch, and checkpoint the last completed epoch so --resume
+        # continues exactly where training left off.
+        self.preempted = False
+        preempt = {"sig": None}
+        old_handler = None
+        installed = False
+        if ckpt_manager is not None and getattr(cfg, "save_on_preempt", True):
+            def _on_term(signum, frame):
+                preempt["sig"] = signum
+                print(f"[engine] caught signal {signum}: stopping at the next "
+                      f"step boundary to checkpoint the last completed epoch")
+
+            try:
+                old_handler = _signal.signal(_signal.SIGTERM, _on_term)
+                installed = True
+            except ValueError:  # not the main thread (e.g. test workers)
+                installed = False
+        completed_state, completed_epoch = state, start_epoch - 1
         # profile the first post-compile epoch (obs.logging.ProfilerHook):
         # epoch start_epoch pays the XLA compile, so trace the next one
         profile_epoch = min(start_epoch + 1, epochs) if profiler else None
-        for epoch in range(start_epoch, epochs + 1):
-            if profiler is not None and epoch == profile_epoch:
-                profiler.start()
-            t0 = _time.perf_counter()
-            n_samples = 0
-            last_metrics: Dict[str, Any] = {}
-            from ..data.prefetch import device_prefetch
+        try:
+            for epoch in range(start_epoch, epochs + 1):
+                if preempt["sig"] is not None:
+                    break
+                if profiler is not None and epoch == profile_epoch:
+                    profiler.start()
+                t0 = _time.perf_counter()
+                n_samples = 0
+                last_metrics: Dict[str, Any] = {}
+                from ..data.prefetch import device_prefetch
 
-            for batch in device_prefetch(train_batches(), self.mesh,
-                                         self.cfg.mode.data_axis,
-                                         encode_units=self._depth_units):
-                n_samples += int(next(iter(batch.values())).shape[0])
-                state, metrics = self.train_step(state, batch, epoch=float(epoch - 1))
-                last_metrics = metrics
-            jax.block_until_ready(last_metrics.get("loss"))
-            dt = _time.perf_counter() - t0
-            if profiler is not None and epoch == profile_epoch:
-                profiler.stop()
-                print(f"profiler trace for epoch {epoch}: {profiler.log_dir}")
-            if logger:
-                chips = max(jax.device_count(), 1)
-                logger.log(
-                    {
-                        "train/loss": last_metrics.get("loss"),
-                        "train/grad_norm": last_metrics.get("grad_norm"),
-                        "train/lr": float(self._lr_schedule(epoch * self._steps_per_epoch)),
-                        "train/epoch_time": dt,
-                        "train/pairs_per_sec_per_chip": n_samples / max(dt, 1e-9) / chips,
-                    },
-                    step=epoch,
-                )
+                for batch in device_prefetch(train_batches(), self.mesh,
+                                             self.cfg.mode.data_axis,
+                                             encode_units=self._depth_units):
+                    if preempt["sig"] is not None:
+                        break
+                    n_samples += int(next(iter(batch.values())).shape[0])
+                    state, metrics = self.train_step(state, batch, epoch=float(epoch - 1))
+                    last_metrics = metrics
+                if preempt["sig"] is not None:
+                    break  # partial epoch: fall through to the preemption save
+                jax.block_until_ready(last_metrics.get("loss"))
+                dt = _time.perf_counter() - t0
+                if profiler is not None and epoch == profile_epoch:
+                    profiler.stop()
+                    print(f"profiler trace for epoch {epoch}: {profiler.log_dir}")
+                if logger:
+                    chips = max(jax.device_count(), 1)
+                    logger.log(
+                        {
+                            "train/loss": last_metrics.get("loss"),
+                            "train/grad_norm": last_metrics.get("grad_norm"),
+                            "train/lr": float(self._lr_schedule(epoch * self._steps_per_epoch)),
+                            "train/epoch_time": dt,
+                            "train/pairs_per_sec_per_chip": n_samples / max(dt, 1e-9) / chips,
+                        },
+                        step=epoch,
+                    )
 
-            if val_batches is not None and cfg.validation and epoch % cfg.validation_iter == 0:
-                val = self.evaluate(state, val_batches())
-                if logger and val:
-                    logger.log({f"val/{k}": v for k, v in val.items()}, step=epoch)
-                # in-loop runtime diagnostics (train.py:676-708 analogues):
-                # negative/stuck-at-zero prediction detectors on the first
-                # validation batch
-                first = next(iter(val_batches()), None)
-                if first is not None and (vis_callback is not None or logger is not None):
-                    from ..data.codec import decode_batch as _decode
+                if val_batches is not None and cfg.validation and epoch % cfg.validation_iter == 0:
+                    val = self.evaluate(state, val_batches())
+                    if logger and val:
+                        logger.log({f"val/{k}": v for k, v in val.items()}, step=epoch)
+                    # in-loop runtime diagnostics (train.py:676-708 analogues):
+                    # negative/stuck-at-zero prediction detectors on the first
+                    # validation batch
+                    first = next(iter(val_batches()), None)
+                    if first is not None and (vis_callback is not None or logger is not None):
+                        from ..data.codec import decode_batch as _decode
 
-                    first_dev = _decode(self.put_batch(first), self._depth_units)
-                    pred = np.asarray(self._predict_meters(
-                        state.params, state.batch_stats, first_dev
-                    ))
-                    if (pred < 0).any():
-                        print(f"WARNING epoch {epoch}: negative depth predictions "
-                              f"(min={pred.min():.4f})")
-                    if np.abs(pred).max() < 1e-6:
-                        print(f"WARNING epoch {epoch}: predictions stuck at zero")
-                    if vis_callback is not None:
-                        vis_callback(epoch, first, pred)
-                if best_tracker is not None and val and best_tracker.update(epoch, val):
-                    if ckpt_manager is not None:
-                        aux = getattr(self.task, "checkpoint_aux", lambda: None)()
-                        ckpt_manager.save(epoch, state, aux=aux, metrics=val)
-                        ckpt_manager.mark_best(
-                            epoch, best_tracker.metric, best_tracker.best_value)
-                for name, hb in (holdout_batches or {}).items():
-                    h = self.evaluate(state, hb())
-                    if logger and h:
-                        logger.log({f"holdout/{name}/{k}": v for k, v in h.items()}, step=epoch)
+                        first_dev = _decode(self.put_batch(first), self._depth_units)
+                        pred = np.asarray(self._predict_meters(
+                            state.params, state.batch_stats, first_dev
+                        ))
+                        if (pred < 0).any():
+                            print(f"WARNING epoch {epoch}: negative depth predictions "
+                                  f"(min={pred.min():.4f})")
+                        if np.abs(pred).max() < 1e-6:
+                            print(f"WARNING epoch {epoch}: predictions stuck at zero")
+                        if vis_callback is not None:
+                            vis_callback(epoch, first, pred)
+                    if best_tracker is not None and val and best_tracker.update(epoch, val):
+                        if ckpt_manager is not None:
+                            aux = getattr(self.task, "checkpoint_aux", lambda: None)()
+                            ckpt_manager.save(epoch, state, aux=aux, metrics=val)
+                            ckpt_manager.mark_best(
+                                epoch, best_tracker.metric, best_tracker.best_value)
+                    for name, hb in (holdout_batches or {}).items():
+                        h = self.evaluate(state, hb())
+                        if logger and h:
+                            logger.log({f"holdout/{name}/{k}": v for k, v in h.items()}, step=epoch)
 
-            if ckpt_manager is not None and epoch % cfg.saving_checkpoints == 0:
+                if ckpt_manager is not None and epoch % cfg.saving_checkpoints == 0:
+                    aux = getattr(self.task, "checkpoint_aux", lambda: None)()
+                    ckpt_manager.save(epoch, state, aux=aux)
+                completed_state, completed_epoch = state, epoch
+        finally:
+            if installed:
+                _signal.signal(_signal.SIGTERM, old_handler or _signal.SIG_DFL)
+        if preempt["sig"] is not None:
+            self.preempted = True
+            if ckpt_manager is not None and completed_epoch >= start_epoch:
                 aux = getattr(self.task, "checkpoint_aux", lambda: None)()
-                ckpt_manager.save(epoch, state, aux=aux)
+                ckpt_manager.save(completed_epoch, completed_state, aux=aux)
+                ckpt_manager.wait()
+                print(f"[engine] preemption checkpoint saved at epoch "
+                      f"{completed_epoch}; resume with --resume")
+            else:
+                print("[engine] preempted before the first epoch completed; "
+                      "nothing new to checkpoint")
+            return completed_state
         return state
 
     # ------------------------------------------------------------------

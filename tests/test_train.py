@@ -80,3 +80,52 @@ def test_evaluate_aggregates():
     state = eng.init_state(jax.random.PRNGKey(0), batch)
     means = eng.evaluate(state, ds.batches(4, shuffle=False))
     assert set(means) >= {"abs_rel", "rmse", "delta1", "loss"}
+
+
+def test_preemption_checkpoint_and_resume(tmp_path):
+    """SIGTERM mid-epoch → fit stops at the step boundary, discards the
+    partial epoch, checkpoints the last COMPLETED epoch, and restores the
+    default handler. Resume continues from that epoch."""
+    import os
+    import signal
+
+    from audiodepth_tpu.ckpt import CheckpointManager
+
+    cfg = small_cfg("batvisionv2", **{"mode.saving_checkpoints": 100})
+    ds = SyntheticEchoDataset(cfg, num_samples=8, seed=5)
+    task = make_task(cfg)
+    eng = Engine(cfg, task)
+    state = eng.init_state(jax.random.PRNGKey(0), next(ds.batches(4, shuffle=False)))
+    mgr = CheckpointManager(str(tmp_path / "ck"), "preempt")
+
+    calls = {"n": 0}
+
+    def train_batches():
+        calls["n"] += 1
+        def gen():
+            for i, b in enumerate(ds.batches(4, shuffle=False, drop_last=True)):
+                if calls["n"] == 4 and i == 1:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield b
+        return gen()
+
+    prev = signal.getsignal(signal.SIGTERM)
+    out = eng.fit(state, train_batches, val_batches=None, epochs=6,
+                  ckpt_manager=mgr)
+    assert eng.preempted
+    # the partial epoch 4 was discarded: 3 epochs x 2 steps
+    assert int(out.step) == 6
+    assert mgr.latest_epoch() == 3
+    # the handler was restored (not left pointing into the finished fit)
+    assert signal.getsignal(signal.SIGTERM) is not prev or prev in (
+        signal.SIG_DFL, signal.default_int_handler)
+    assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL, prev)
+
+    # resume: restore template → epoch 3, so training restarts at epoch 4
+    template = eng.init_state(jax.random.PRNGKey(0), next(ds.batches(4, shuffle=False)))
+    restored, _, epoch = mgr.restore(template)
+    assert epoch == 3 and int(restored.step) == 6
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(out.params)[0]))
+    mgr.close()
