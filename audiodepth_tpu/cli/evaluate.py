@@ -209,8 +209,9 @@ def _run_eval(args, cfg, task, ds, eng, state, exp, epoch, bs):
             per_sample[k].append(v[valid] if valid is not None else v)
         if args.save_tensors or args.visualize:
             dev = decode_batch(eng.put_batch(batch), units)
-            pred = np.asarray(task.predict_meters(
-                state.params, state.batch_stats, dev))
+            # jitted forward: the plain flax apply dispatches op-by-op,
+            # which costs minutes over a remote device link on full splits
+            pred = np.asarray(eng.predict_meters(state, dev))
             gt_m = np.asarray(dev["depth"])
             if cfg.dataset.depth_norm:
                 gt_m = gt_m * cfg.dataset.max_depth

@@ -23,15 +23,24 @@ def enable(cache_dir: str | None = None,
            min_compile_secs: float = 10.0) -> None:
     """Enable the persistent compilation cache (idempotent).
 
-    Skipped when the process is pinned to the CPU platform: XLA:CPU AOT
+    Skipped unless the process resolves to a TPU backend: XLA:CPU AOT
     cache keys do not include the host's CPU feature set, so an entry
     written on one host can SIGILL on another (observed as
     cpu_aot_loader "machine type ... doesn't match" errors when this VM
     migrates). TPU executables don't have that problem — the serialized
-    artifact targets the accelerator, not the host.
+    artifact targets the accelerator, not the host. The check covers both
+    an explicit jax_platforms=cpu pin AND a silent CPU fallback (e.g. the
+    device tunnel being unavailable).
+
+    NOTE: resolves the backend as a side effect, which makes the platform
+    choice sticky — do not call before code that must pick the platform
+    itself (e.g. __graft_entry__.dryrun_multichip provisions a virtual CPU
+    mesh first and only then compiles).
     """
     try:
         if (getattr(jax.config, "jax_platforms", None) or "").strip() == "cpu":
+            return
+        if jax.default_backend() != "tpu":
             return
         jax.config.update("jax_compilation_cache_dir",
                           cache_dir or _DEFAULT_DIR)

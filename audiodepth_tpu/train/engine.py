@@ -142,6 +142,30 @@ class Engine:
         self._init_fn = jax.jit(init_fn)
 
     # ------------------------------------------------------------------
+    def _snapshot_state(self, state: "TrainState") -> "TrainState":
+        """Copy the epoch-boundary state out of the donation path.
+
+        train_step donates its input buffers (donate_argnums=0), so a live
+        reference retained across the next epoch's first step is invalidated
+        ("Array has been deleted") exactly when the preemption save would
+        read it. Prefer the device's host memory space — zero HBM cost, and
+        on remote platforms the copy stays on the device host — and fall
+        back to an on-device copy where memory kinds are unsupported.
+        """
+        mode = getattr(self, "_snapshot_mode", None)
+        if mode in (None, "pinned_host"):
+            try:
+                snap = jax.tree.map(
+                    lambda x: jax.device_put(
+                        x, x.sharding.with_memory_kind("pinned_host")),
+                    state,
+                )
+                self._snapshot_mode = "pinned_host"
+                return snap
+            except Exception:
+                self._snapshot_mode = "copy"
+        return jax.tree.map(jnp.copy, state)
+
     def init_state(self, rng: jax.Array, sample_batch) -> TrainState:
         with self._mesh_ctx():
             return self._init_state(rng, sample_batch)
@@ -196,6 +220,11 @@ class Engine:
     def eval_step(self, state, batch):
         with self._mesh_ctx():
             return self._eval_step(state, self.put_batch(batch))
+
+    def predict_meters(self, state, batch):
+        """Jitted depth forward in meters on a DECODED device batch."""
+        with self._mesh_ctx():
+            return self._predict_meters(state.params, state.batch_stats, batch)
 
     # ------------------------------------------------------------------
     def fit(
@@ -328,7 +357,11 @@ class Engine:
                 if ckpt_manager is not None and epoch % cfg.saving_checkpoints == 0:
                     aux = getattr(self.task, "checkpoint_aux", lambda: None)()
                     ckpt_manager.save(epoch, state, aux=aux)
-                completed_state, completed_epoch = state, epoch
+                completed_epoch = epoch
+                # snapshot out of the donation path: the next epoch's first
+                # train_step invalidates `state`'s buffers (see _snapshot_state)
+                completed_state = (
+                    self._snapshot_state(state) if installed else state)
         finally:
             if installed:
                 _signal.signal(_signal.SIGTERM, old_handler or _signal.SIG_DFL)

@@ -75,17 +75,24 @@ class Task:
         return pred
 
     # -- model plumbing --------------------------------------------------
+    def _init_call(self, rng: jax.Array, batch):
+        """(rngs, args, kwargs) of one model call at the init signature.
+
+        The single place a family's init-time call shape lives: init() and
+        tabulate() both consume it, so subclasses override only this hook.
+        """
+        return ({"params": rng, "dropout": rng}, (self.prepare(batch),),
+                {"train": False})
+
     def init(self, rng: jax.Array, batch: Dict[str, jnp.ndarray]) -> Dict[str, Any]:
-        x = self.prepare(batch)
-        return self.model.init({"params": rng, "dropout": rng}, x, train=False)
+        rngs, args, kwargs = self._init_call(rng, batch)
+        return self.model.init(rngs, *args, **kwargs)
 
     def tabulate(self, batch: Dict[str, jnp.ndarray]) -> str:
         """Full module tree table (architecture.txt parity, train.py:576-597)."""
-        rng = jax.random.PRNGKey(0)
-        return self.model.tabulate(
-            {"params": rng, "dropout": rng}, self.prepare(batch), train=False,
-            console_kwargs={"width": 160},
-        )
+        rngs, args, kwargs = self._init_call(jax.random.PRNGKey(0), batch)
+        return self.model.tabulate(rngs, *args, **kwargs,
+                                   console_kwargs={"width": 160})
 
     def apply_train(self, params, batch_stats, x, rng):
         variables = {"params": params}

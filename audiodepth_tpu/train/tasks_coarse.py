@@ -108,19 +108,10 @@ class CoarseDepthTask(Task):
             return out, (mutated.get("batch_stats") if mutable else None)
         return self.model.apply(variables, *args, train=False), None
 
-    def init(self, rng, batch):
+    def _init_call(self, rng, batch):
         x = self.prepare(batch)
         args = (x,) if self.model_type == "dual_reg" else (x, self.bin_centers)
-        return self.model.init({"params": rng, "dropout": rng}, *args, train=False)
-
-    def tabulate(self, batch):
-        import jax as _jax
-
-        x = self.prepare(batch)
-        args = (x,) if self.model_type == "dual_reg" else (x, self.bin_centers)
-        rng = _jax.random.PRNGKey(0)
-        return self.model.tabulate({"params": rng, "dropout": rng}, *args,
-                                   train=False, console_kwargs={"width": 160})
+        return ({"params": rng, "dropout": rng}, args, {"train": False})
 
     def loss_fn(self, params, batch_stats, batch, rng, epoch):
         x = self.prepare(batch)

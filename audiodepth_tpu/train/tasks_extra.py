@@ -210,20 +210,9 @@ class UNetCVAETask(Task):
         self.kl_weight = float(cfg.model.kl_weight)
         self.model = build_unet_cvae(cfg)
 
-    def init(self, rng, batch):
-        x = self.prepare(batch)
-        return self.model.init(
-            {"params": rng, "dropout": rng, "latent": rng}, x, train=False
-        )
-
-    def tabulate(self, batch):
-        import jax as _jax
-
-        rng = _jax.random.PRNGKey(0)
-        return self.model.tabulate(
-            {"params": rng, "dropout": rng, "latent": rng}, self.prepare(batch),
-            train=False, console_kwargs={"width": 160},
-        )
+    def _init_call(self, rng, batch):
+        return ({"params": rng, "dropout": rng, "latent": rng},
+                (self.prepare(batch),), {"train": False})
 
     def apply_train(self, params, batch_stats, x, rng):
         variables = {"params": params}
@@ -300,25 +289,12 @@ class AdaBinsDistillationTask(Task):
             remat=bool(extra.get("remat", False)),
         )
 
-    def init(self, rng, batch):
+    def _init_call(self, rng, batch):
         audio = super().prepare(batch)
         rgb = batch.get("image")
-        return self.model.init(
-            {"params": rng, "dropout": rng}, audio, rgb, train=False,
-            mode="train" if rgb is not None else "inference",
-        )
-
-    def tabulate(self, batch):
-        import jax as _jax
-
-        audio = super().prepare(batch)
-        rgb = batch.get("image")
-        rng = _jax.random.PRNGKey(0)
-        return self.model.tabulate(
-            {"params": rng, "dropout": rng}, audio, rgb, train=False,
-            mode="train" if rgb is not None else "inference",
-            console_kwargs={"width": 160},
-        )
+        return ({"params": rng, "dropout": rng}, (audio, rgb),
+                {"train": False,
+                 "mode": "train" if rgb is not None else "inference"})
 
     def loss_fn(self, params, batch_stats, batch, rng, epoch):
         audio = super().prepare(batch)

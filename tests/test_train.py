@@ -129,3 +129,50 @@ def test_preemption_checkpoint_and_resume(tmp_path):
         np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
         np.asarray(jax.tree_util.tree_leaves(out.params)[0]))
     mgr.close()
+
+
+def test_preemption_after_partial_epoch_step(tmp_path):
+    """SIGTERM landing AFTER >=1 train_step of the partial epoch — the
+    realistic preemption. train_step donates its input buffers, so the
+    retained epoch-boundary state must be a snapshot (engine._snapshot_state)
+    or the save reads deleted arrays and nothing is checkpointed."""
+    import os
+    import signal
+
+    from audiodepth_tpu.ckpt import CheckpointManager
+
+    cfg = small_cfg("batvisionv2", **{"mode.saving_checkpoints": 100})
+    ds = SyntheticEchoDataset(cfg, num_samples=8, seed=5)
+    task = make_task(cfg)
+    eng = Engine(cfg, task)
+    state = eng.init_state(jax.random.PRNGKey(0), next(ds.batches(4, shuffle=False)))
+    mgr = CheckpointManager(str(tmp_path / "ck"), "preempt2")
+
+    # fire the signal only once the first step of epoch 3 (epoch arg 2.0)
+    # has COMPLETED, guaranteeing the epoch-2 boundary state was already
+    # donated back into the jitted step before the save runs
+    orig_step = eng.train_step
+    fired = {"done": False}
+
+    def stepped(st, batch, epoch=0.0):
+        out = orig_step(st, batch, epoch=epoch)
+        if epoch >= 2.0 and not fired["done"]:
+            fired["done"] = True
+            os.kill(os.getpid(), signal.SIGTERM)
+        return out
+
+    eng.train_step = stepped
+    try:
+        out = eng.fit(state, lambda: ds.batches(4, shuffle=False, drop_last=True),
+                      val_batches=None, epochs=6, ckpt_manager=mgr)
+    finally:
+        eng.train_step = orig_step
+    assert eng.preempted
+    assert fired["done"]
+    # partial epoch 3 discarded; epochs 1-2 completed = 4 steps
+    assert int(out.step) == 4
+    assert mgr.latest_epoch() == 2
+    template = eng.init_state(jax.random.PRNGKey(0), next(ds.batches(4, shuffle=False)))
+    restored, _, epoch = mgr.restore(template)
+    assert epoch == 2 and int(restored.step) == 4
+    mgr.close()
