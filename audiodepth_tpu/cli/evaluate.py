@@ -167,11 +167,9 @@ def main(argv=None):
 def _run_eval(args, cfg, task, ds, eng, state, exp, epoch, bs):
     print(f"evaluating {exp} @ epoch {epoch} on {args.eval_on}")
 
-    from ..data.codec import decode_batch
     from ..metrics import METRIC_NAMES
     from ..obs import save_batch_visualization
 
-    units = 1.0 if cfg.dataset.depth_norm else float(cfg.dataset.max_depth)
     per_sample = {k: [] for k in METRIC_NAMES + ("loss",)}
     gts, preds = [], []
     # full-set visualization: one PNG per --vis_batch_size samples, named
@@ -198,25 +196,24 @@ def _run_eval(args, cfg, task, ds, eng, state, exp, epoch, bs):
         vis_group += 1
         vis_seen = hi + 1
 
+    want_pred = args.save_tensors or args.visualize
     for batch in ds.batches(bs, shuffle=False, drop_last=False):
-        out = eng.eval_step(state, batch)
+        if want_pred:
+            # metrics + pred/gt meters from ONE jitted graph (the eval
+            # forward is CSEd), instead of eval_step plus a second forward
+            out, pred, gt_m = eng.eval_step_pred(state, batch)
+            pred, gt_m = np.asarray(pred), np.asarray(gt_m)
+        else:
+            out = eng.eval_step(state, batch)
         # mesh-backed engines pad ragged tails to a shardable size and
         # return a _valid row mask (engine.py eval_step); keep only real
         # rows so pad rows never reach the means/tensors/visualizations
         valid = np.asarray(out["_valid"]).astype(bool) if "_valid" in out else None
+        if want_pred and valid is not None:
+            pred, gt_m = pred[valid], gt_m[valid]
         for k in per_sample:
             v = np.asarray(out[k])
             per_sample[k].append(v[valid] if valid is not None else v)
-        if args.save_tensors or args.visualize:
-            dev = decode_batch(eng.put_batch(batch), units)
-            # jitted forward: the plain flax apply dispatches op-by-op,
-            # which costs minutes over a remote device link on full splits
-            pred = np.asarray(eng.predict_meters(state, dev))
-            gt_m = np.asarray(dev["depth"])
-            if cfg.dataset.depth_norm:
-                gt_m = gt_m * cfg.dataset.max_depth
-            if valid is not None:
-                pred, gt_m = pred[valid], gt_m[valid]
         if args.visualize:
             for j in range(len(gt_m)):
                 vis_gts.append(gt_m[j])

@@ -579,8 +579,10 @@ def check_structure(imported: Dict[str, dict], init_vars: Dict[str, dict]) -> No
     from flax.traverse_util import flatten_dict
 
     for col in ("params", "batch_stats"):
-        want = flatten_dict(init_vars.get(col, {}))
-        got = flatten_dict(imported.get(col, {}))
+        # callers pass state.batch_stats verbatim, which is None for
+        # norm='instance'/'none' models — treat None as an empty collection
+        want = flatten_dict(init_vars.get(col) or {})
+        got = flatten_dict(imported.get(col) or {})
         missing = sorted(set(want) - set(got))
         extra = sorted(set(got) - set(want))
         if missing or extra:

@@ -102,7 +102,7 @@ class Engine:
                 metrics,
             )
 
-        def eval_step(state: TrainState, batch):
+        def eval_core(state: TrainState, batch):
             # ragged tails arrive padded to a shardable size with a _valid
             # row mask (put_batch / multihost.local_shard); metrics from
             # pad rows are zeroed and the mask is returned so evaluate()
@@ -115,10 +115,22 @@ class Engine:
                 valid = valid.astype(jnp.float32)
                 out = {k: v * valid for k, v in out.items()}
                 out["_valid"] = valid
-            return out
+            return out, batch
+
+        def eval_step(state: TrainState, batch):
+            return eval_core(state, batch)[0]
+
+        def eval_step_pred(state: TrainState, batch):
+            # metrics + prediction/gt in meters from ONE graph: XLA CSEs
+            # the shared eval-mode forward, so --visualize/--save_tensors
+            # costs no second forward pass over the split
+            out, dec = eval_core(state, batch)
+            pred_m = task.predict_meters(state.params, state.batch_stats, dec)
+            return out, pred_m, task.to_meters(dec["depth"])
 
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
+        self._eval_step_pred = jax.jit(eval_step_pred)
         # diagnostics/visualization forward (first val batch each
         # validation): jitted once so it compiles on first use instead of
         # dispatching op-by-op every validation epoch
@@ -221,6 +233,11 @@ class Engine:
         with self._mesh_ctx():
             return self._eval_step(state, self.put_batch(batch))
 
+    def eval_step_pred(self, state, batch):
+        """(per-sample metrics, pred meters, gt meters) in one forward."""
+        with self._mesh_ctx():
+            return self._eval_step_pred(state, self.put_batch(batch))
+
     def predict_meters(self, state, batch):
         """Jitted depth forward in meters on a DECODED device batch."""
         with self._mesh_ctx():
@@ -278,7 +295,11 @@ class Engine:
                 installed = True
             except ValueError:  # not the main thread (e.g. test workers)
                 installed = False
-        completed_state, completed_epoch = state, start_epoch - 1
+        completed_epoch = start_epoch - 1
+        # snapshot even the INITIAL state when the handler is live: the first
+        # train_step donates the caller's buffers, so a SIGTERM inside the
+        # first in-progress epoch must not return deleted arrays
+        completed_state = self._snapshot_state(state) if installed else state
         # profile the first post-compile epoch (obs.logging.ProfilerHook):
         # epoch start_epoch pays the XLA compile, so trace the next one
         profile_epoch = min(start_epoch + 1, epochs) if profiler else None
@@ -303,7 +324,11 @@ class Engine:
                     last_metrics = metrics
                 if preempt["sig"] is not None:
                     break  # partial epoch: fall through to the preemption save
-                jax.block_until_ready(last_metrics.get("loss"))
+                if last_metrics.get("loss") is not None:
+                    # host readback, not block_until_ready: the latter does
+                    # not wait for compute on remote-tunnel platforms, which
+                    # would make epoch_time measure dispatch only
+                    last_metrics["loss"] = float(last_metrics["loss"])
                 dt = _time.perf_counter() - t0
                 if profiler is not None and epoch == profile_epoch:
                     profiler.stop()
@@ -333,9 +358,8 @@ class Engine:
                         from ..data.codec import decode_batch as _decode
 
                         first_dev = _decode(self.put_batch(first), self._depth_units)
-                        pred = np.asarray(self._predict_meters(
-                            state.params, state.batch_stats, first_dev
-                        ))
+                        first_dev.pop("_valid", None)  # pad mask, not a field
+                        pred = np.asarray(self.predict_meters(state, first_dev))
                         if (pred < 0).any():
                             print(f"WARNING epoch {epoch}: negative depth predictions "
                                   f"(min={pred.min():.4f})")

@@ -58,6 +58,61 @@ def test_eval_metrics_shapes_and_sanity():
     assert float(np.mean(out["rmse"])) > 0.0
 
 
+def test_eval_step_pred_matches_separate_paths():
+    """eval_step_pred (one-graph metrics + pred/gt meters, used by the eval
+    CLI for --visualize/--save_tensors) must agree with eval_step and the
+    standalone predict_meters forward."""
+    from audiodepth_tpu.data.codec import decode_batch
+
+    cfg = small_cfg()
+    ds = SyntheticEchoDataset(cfg, num_samples=8, seed=5)
+    batch = next(ds.batches(4, shuffle=False))
+    task = make_task(cfg)
+    eng = Engine(cfg, task)
+    state = eng.init_state(jax.random.PRNGKey(0), batch)
+
+    out, pred_m, gt_m = eng.eval_step_pred(state, batch)
+    ref = eng.eval_step(state, batch)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+    units = 1.0 if cfg.dataset.depth_norm else float(cfg.dataset.max_depth)
+    dev = decode_batch(eng.put_batch(batch), units)
+    np.testing.assert_allclose(np.asarray(pred_m),
+                               np.asarray(eng.predict_meters(state, dev)),
+                               rtol=1e-5, atol=1e-6)
+    gt_ref = np.asarray(dev["depth"])
+    if cfg.dataset.depth_norm:
+        gt_ref = gt_ref * cfg.dataset.max_depth
+    np.testing.assert_allclose(np.asarray(gt_m), gt_ref, rtol=1e-6, atol=1e-7)
+
+
+def test_eval_step_pred_ragged_valid_mask():
+    """A padded ragged tail returns a _valid mask whose False rows must be
+    dropped from pred/gt before visualization/tensor artifacts."""
+    from audiodepth_tpu.parallel.mesh import pad_batch_to
+
+    cfg = small_cfg()
+    ds = SyntheticEchoDataset(cfg, num_samples=3, seed=6)
+    tail = next(ds.batches(3, shuffle=False))
+    task = make_task(cfg)
+    eng = Engine(cfg, task)
+    state = eng.init_state(jax.random.PRNGKey(0), next(ds.batches(3, shuffle=False)))
+
+    padded = pad_batch_to(dict(tail), 4)
+    out, pred_m, gt_m = eng.eval_step_pred(state, padded)
+    valid = np.asarray(out["_valid"]).astype(bool)
+    assert valid.tolist() == [True, True, True, False]
+    assert pred_m.shape[0] == 4 and gt_m.shape[0] == 4
+    # the real rows equal the unpadded forward
+    _, pred_ref, gt_ref = eng.eval_step_pred(state, tail)
+    np.testing.assert_allclose(np.asarray(pred_m)[valid], np.asarray(pred_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gt_m)[valid], np.asarray(gt_ref),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_val_loss_batch_size_invariant():
     """The eval 'loss' is per-sample masked L1, so the split mean must not
     depend on batching (ragged drop_last=False tails included)."""
