@@ -231,3 +231,45 @@ def test_preemption_after_partial_epoch_step(tmp_path):
     restored, _, epoch = mgr.restore(template)
     assert epoch == 2 and int(restored.step) == 4
     mgr.close()
+
+
+def test_preemption_inside_first_epoch_returns_live_state(tmp_path):
+    """SIGTERM after >=1 step of the FIRST epoch: no epoch completed, so
+    nothing is checkpointed — but fit must return the initial state as a
+    live snapshot, not the caller's buffers that the first train_step
+    donated (reading those raises a deleted-array error)."""
+    import os
+    import signal
+
+    from audiodepth_tpu.ckpt import CheckpointManager
+
+    cfg = small_cfg("batvisionv2", **{"mode.saving_checkpoints": 100})
+    ds = SyntheticEchoDataset(cfg, num_samples=8, seed=5)
+    task = make_task(cfg)
+    eng = Engine(cfg, task)
+    state = eng.init_state(jax.random.PRNGKey(0), next(ds.batches(4, shuffle=False)))
+    mgr = CheckpointManager(str(tmp_path / "ck"), "preempt3")
+
+    orig_step = eng.train_step
+    fired = {"done": False}
+
+    def stepped(st, batch, epoch=0.0):
+        out = orig_step(st, batch, epoch=epoch)
+        if not fired["done"]:
+            fired["done"] = True
+            os.kill(os.getpid(), signal.SIGTERM)
+        return out
+
+    eng.train_step = stepped
+    try:
+        out = eng.fit(state, lambda: ds.batches(4, shuffle=False, drop_last=True),
+                      val_batches=None, epochs=6, ckpt_manager=mgr)
+    finally:
+        eng.train_step = orig_step
+    assert eng.preempted and fired["done"]
+    assert mgr.latest_epoch() is None  # nothing completed, nothing saved
+    # the returned state is the pre-training snapshot, with READABLE buffers
+    assert int(out.step) == 0
+    leaf = np.asarray(jax.tree_util.tree_leaves(out.params)[0])
+    assert np.isfinite(leaf).all()
+    mgr.close()
