@@ -50,11 +50,9 @@ def main(argv=None):
     p.add_argument("--stat_dir", default="./eval/")
     p.add_argument("--batch_size", type=int, default=None)
     # model hyperparameters must match the trained checkpoint
-    p.add_argument("--generator", default=None, choices=[None, "unet_256", "unet_128"])
-    p.add_argument("--ngf", type=int, default=None)
-    p.add_argument("--base_channels", type=int, default=None)
-    p.add_argument("--n_bins", type=int, default=None)
-    p.add_argument("--model_type", default=None)
+    from .common import add_model_shape_args
+
+    add_model_shape_args(p)
     p.add_argument("--compute_dtype", default=None, choices=[None, "bfloat16", "float32"])
     p.add_argument("--visualize", action="store_true",
                    help="dump GT/pred/error PNG grids over the WHOLE eval set, "
@@ -79,15 +77,13 @@ def main(argv=None):
     from ..obs import save_batch_visualization
     from ..train import Engine
 
+    from .common import model_shape_overrides
+
     overrides = {"mode.eval_on": args.eval_on}
+    overrides.update(model_shape_overrides(args))
     for key, val in {
         "dataset.dataset_dir": args.dataset_dir,
         "mode.batch_size": args.batch_size,
-        "model.generator": args.generator,
-        "model.ngf": args.ngf,
-        "model.base_channels": args.base_channels,
-        "model.n_bins": args.n_bins,
-        "model.model_type": args.model_type,
         "mode.compute_dtype": args.compute_dtype,
     }.items():
         if val is not None:

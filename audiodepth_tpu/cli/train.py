@@ -217,6 +217,8 @@ def _parse_override(spec: str):
     Same scalar coercion as the reference's YAML fallback parser
     (config_loader.py:8-41): bool/int/float/null, else string.
     """
+    from ..configs import NULL
+
     if "=" not in spec:
         raise SystemExit(f"--override expects SECTION.KEY=VALUE, got {spec!r}")
     key, raw = spec.split("=", 1)
@@ -224,7 +226,9 @@ def _parse_override(spec: str):
     if low in ("true", "false"):
         value = low == "true"
     elif low in ("null", "none", ""):
-        value = None
+        # the NULL sentinel survives apply_overrides' None skip (None means
+        # "flag not given"), so KEY=null really clears the field
+        value = NULL
     else:
         try:
             value = int(raw)
@@ -321,18 +325,10 @@ def config_from_args(args):
     if args.override:
         from ..configs import apply_overrides
 
-        plain, extra = {}, {}
-        for spec in args.override:
-            key, value = _parse_override(spec)
-            if key.startswith("model.extra."):
-                extra[key[len("model.extra."):]] = value
-            else:
-                plain[key] = value
-        if extra:
-            merged = dict(cfg.model.extra)
-            merged.update(extra)
-            plain["model.extra"] = merged
-        cfg = apply_overrides(cfg, plain)
+        # apply_overrides handles model.extra.* subkeys and the NULL
+        # sentinel (KEY=null really clears a field)
+        cfg = apply_overrides(
+            cfg, dict(_parse_override(spec) for spec in args.override))
     return cfg
 
 

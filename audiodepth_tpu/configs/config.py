@@ -166,9 +166,20 @@ def _coerce(value: Any, target_type: Any) -> Any:
     return value
 
 
+# Explicit-null override marker: plain None in an overrides dict means
+# "flag not given, keep the preset" (argparse defaults), so a user writing
+# --override key=null needs a distinct value that survives the None skip.
+NULL = object()
+
+
 def apply_overrides(cfg: Config, overrides: Dict[str, Any]) -> Config:
-    """Apply dotted-path overrides, e.g. {'mode.learning_rate': 1e-3}."""
+    """Apply dotted-path overrides, e.g. {'mode.learning_rate': 1e-3}.
+
+    None values are skipped (unset CLI flags); pass NULL to explicitly
+    set a field to None.
+    """
     groups: Dict[str, Dict[str, Any]] = {"dataset": {}, "mode": {}, "model": {}}
+    extra_updates: Dict[str, Any] = {}
     for key, value in overrides.items():
         if value is None:
             continue
@@ -177,7 +188,16 @@ def apply_overrides(cfg: Config, overrides: Dict[str, Any]) -> Config:
         group, name = key.split(".", 1)
         if group not in groups:
             raise KeyError(f"unknown config group {group!r} in override {key!r}")
+        if group == "model" and name.startswith("extra."):
+            # model.extra is an open dict of family knobs; no field types to
+            # coerce against, so the value lands as parsed (NULL → None)
+            extra_updates[name[len("extra."):]] = None if value is NULL else value
+            continue
         groups[group][name] = value
+    if extra_updates:
+        merged = dict(groups["model"].get("extra", cfg.model.extra))
+        merged.update(extra_updates)
+        groups["model"]["extra"] = merged
 
     parts = {}
     for group, vals in groups.items():
@@ -188,7 +208,7 @@ def apply_overrides(cfg: Config, overrides: Dict[str, Any]) -> Config:
             for name, value in vals.items():
                 if name not in type_by_name:
                     raise KeyError(f"unknown field {group}.{name}")
-                coerced[name] = _coerce(value, type_by_name[name])
+                coerced[name] = None if value is NULL else _coerce(value, type_by_name[name])
             sub = replace(sub, **coerced)
         parts[group] = sub
     return Config(**parts)

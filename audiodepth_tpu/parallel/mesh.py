@@ -76,8 +76,11 @@ def pad_batch_to(batch: Any, target_rows: int) -> Any:
     pad = target_rows - rows
     if pad < 0:
         raise ValueError(f"batch of {rows} rows exceeds target {target_rows}")
-    valid = np.concatenate(
-        [np.ones(rows, np.float32), np.zeros(pad, np.float32)])
+    # an already-padded batch keeps its mask: its existing pad rows must
+    # stay invalid (repeating row 0's mask value would mark them real)
+    prior = np.asarray(batch["_valid"], np.float32) if "_valid" in batch \
+        else np.ones(rows, np.float32)
+    valid = np.concatenate([prior, np.zeros(pad, np.float32)])
     if pad:
         def _pad(x):
             x = np.asarray(x)

@@ -62,29 +62,17 @@ def main(argv=None):
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--experiment_name", default=None)
     # model hyperparameters must match the checkpoint being exported
-    p.add_argument("--generator", default=None, choices=[None, "unet_256", "unet_128"])
-    p.add_argument("--ngf", type=int, default=None)
-    p.add_argument("--base_channels", type=int, default=None)
-    p.add_argument("--n_bins", type=int, default=None)
-    p.add_argument("--model_type", default=None)
+    from ..cli.common import add_model_shape_args, model_shape_overrides
+
+    add_model_shape_args(p)
     args = p.parse_args(argv)
 
     from ..configs import load_config
     from ..data.synthetic import SyntheticEchoDataset
     from ..models import make_task
 
-    overrides = {}
-    for key, val in {
-        "model.generator": args.generator,
-        "model.ngf": args.ngf,
-        "model.base_channels": args.base_channels,
-        "model.n_bins": args.n_bins,
-        "model.model_type": args.model_type,
-    }.items():
-        if val is not None:
-            overrides[key] = val
     cfg = load_config(args.dataset, "test", "export", args.model,
-                      overrides=overrides)
+                      overrides=model_shape_overrides(args))
     task = make_task(cfg)
     ds = SyntheticEchoDataset(cfg, num_samples=1)
     batch = next(ds.batches(1, shuffle=False))

@@ -27,11 +27,9 @@ def main(argv=None):
     p.add_argument("--checkpoints", type=int, default=None, help="epoch (default latest)")
     p.add_argument("--use_best", action="store_true")
     p.add_argument("--out", default="./export/model.pth")
-    p.add_argument("--generator", default=None, choices=[None, "unet_256", "unet_128"])
-    p.add_argument("--ngf", type=int, default=None)
-    p.add_argument("--base_channels", type=int, default=None)
-    p.add_argument("--n_bins", type=int, default=None)
-    p.add_argument("--model_type", default=None)
+    from ..cli.common import add_model_shape_args, model_shape_overrides
+
+    add_model_shape_args(p)
     args = p.parse_args(argv)
 
     import os
@@ -42,18 +40,8 @@ def main(argv=None):
     from ..configs import load_config
     from .import_torch import export_for_config
 
-    overrides = {}
-    for key, val in {
-        "model.generator": args.generator,
-        "model.ngf": args.ngf,
-        "model.base_channels": args.base_channels,
-        "model.n_bins": args.n_bins,
-        "model.model_type": args.model_type,
-    }.items():
-        if val is not None:
-            overrides[key] = val
     cfg = load_config(args.dataset, "test", "export", args.model,
-                      overrides=overrides)
+                      overrides=model_shape_overrides(args))
 
     mgr = CheckpointManager(args.ckpt_dir, args.experiment_name)
     epoch_req = "best" if (args.use_best and args.checkpoints is None) else args.checkpoints

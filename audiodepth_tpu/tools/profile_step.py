@@ -115,9 +115,13 @@ def capture(args) -> str:
     from ..train import Engine
 
     enable()
+    from ..cli.train import _parse_override
+
     overrides = {"mode.batch_size": args.batch_size}
     for kv in args.override or []:
-        k, v = kv.split("=", 1)
+        # full bool/int/float/null coercion — model.extra.* keys get no
+        # field-type coercion downstream, so raw strings would stay strings
+        k, v = _parse_override(kv)
         overrides[k] = v
     cfg = load_config(args.dataset, "train", "profile", args.model,
                       overrides=overrides)

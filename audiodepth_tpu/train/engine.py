@@ -172,6 +172,13 @@ class Engine:
                         x, x.sharding.with_memory_kind("pinned_host")),
                     state,
                 )
+                if mode is None:
+                    # validate the mode EAGERLY: device_put can defer
+                    # failure to execution on backends where the memory-kind
+                    # API exists but transfers don't work — caching
+                    # 'pinned_host' on a latent error would surface it
+                    # inside the SIGTERM grace window, losing the save
+                    np.asarray(jax.tree_util.tree_leaves(snap)[0])
                 self._snapshot_mode = "pinned_host"
                 return snap
             except Exception:
@@ -360,6 +367,11 @@ class Engine:
                         first_dev = _decode(self.put_batch(first), self._depth_units)
                         first_dev.pop("_valid", None)  # pad mask, not a field
                         pred = np.asarray(self.predict_meters(state, first_dev))
+                        # put_batch may have padded a ragged batch to a
+                        # shardable size; drop the synthetic rows so pred
+                        # stays row-aligned with `first` for the callback
+                        # and the detectors never scan fabricated data
+                        pred = pred[:next(iter(first.values())).shape[0]]
                         if (pred < 0).any():
                             print(f"WARNING epoch {epoch}: negative depth predictions "
                                   f"(min={pred.min():.4f})")

@@ -81,17 +81,14 @@ def main(argv=None):
     for spec in args.entry:
         parts = spec.split(":")
         label, family, path = parts[0], parts[1], parts[2]
+        # same scalar coercion (bool/int/float/null) as `--override` in
+        # cli/train.py, instead of a drifting int/float-only copy
+        from audiodepth_tpu.cli.train import _parse_override
+
         overrides = {}
         if len(parts) > 3:
             for kv in parts[3].split(","):
-                k, v = kv.split("=")
-                try:
-                    v = int(v)
-                except ValueError:
-                    try:
-                        v = float(v)
-                    except ValueError:
-                        pass
+                k, v = _parse_override(kv)
                 overrides[k] = v
         rows.append(evaluate_entry(label, family, path, args.dataset,
                                    overrides, args.num_samples,

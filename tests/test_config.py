@@ -31,6 +31,39 @@ def test_overrides_and_coercion():
     assert cfg.dataset.depth_norm is True
 
 
+def test_null_sentinel_and_extra_overrides():
+    from audiodepth_tpu.configs import NULL
+
+    # plain None is skipped (argparse "flag not given")
+    cfg = load_config(overrides={"mode.checkpoints": None})
+    assert cfg.mode.checkpoints is None
+    cfg = apply_overrides(cfg, {"mode.checkpoints": 5})
+    assert cfg.mode.checkpoints == 5
+    cfg = apply_overrides(cfg, {"mode.checkpoints": None})  # skipped
+    assert cfg.mode.checkpoints == 5
+    # NULL explicitly clears the field
+    cfg = apply_overrides(cfg, {"mode.checkpoints": NULL})
+    assert cfg.mode.checkpoints is None
+    # model.extra.* subkeys merge into the open dict, NULL → real None
+    cfg = apply_overrides(cfg, {"model.extra.remat": False,
+                                "model.extra.recon": NULL})
+    assert cfg.model.extra["remat"] is False
+    assert cfg.model.extra["recon"] is None
+
+
+def test_cli_override_null_spelling():
+    """`--override KEY=null` must actually clear the field (it used to be
+    silently dropped by apply_overrides' None skip)."""
+    from audiodepth_tpu.cli.train import _parse_override
+    from audiodepth_tpu.configs import NULL
+
+    key, value = _parse_override("mode.checkpoints=null")
+    assert key == "mode.checkpoints" and value is NULL
+    cfg = load_config(overrides={"mode.checkpoints": 7})
+    cfg = apply_overrides(cfg, {key: value})
+    assert cfg.mode.checkpoints is None
+
+
 def test_lr_guard():
     with pytest.raises(ValueError):
         load_config(overrides={"mode.learning_rate": 0.5})

@@ -59,6 +59,51 @@ def test_batch_sharding_layout():
     assert sharded.addressable_shards[0].data.shape == (2, 4)
 
 
+def test_vis_callback_pred_row_aligned_with_ragged_val_batch():
+    """fit()'s first-val-batch diagnostics run through put_batch, which pads
+    ragged batches on a mesh; the callback must still receive a pred
+    row-aligned with the UNPADDED batch it is handed."""
+    over = {
+        "model.generator": "unet_128",
+        "model.ngf": 4,
+        "dataset.images_size": 128,
+        "mode.batch_size": 8,
+        "mode.compute_dtype": "float32",
+        "mode.validation_iter": 1,
+    }
+    cfg = load_config("batvisionv2", "train", "t", "unet_baseline", overrides=over)
+    train_ds = SyntheticEchoDataset(cfg, num_samples=8, seed=0)
+    val_ds = SyntheticEchoDataset(cfg, num_samples=5, seed=1)  # ragged vs axis 8
+    task = make_task(cfg)
+    eng = Engine(cfg, task, mesh=make_mesh())
+    state = eng.init_state(jax.random.PRNGKey(0), next(train_ds.batches(8, shuffle=False)))
+
+    seen = []
+
+    def vis(epoch, first, pred):
+        seen.append((next(iter(first.values())).shape[0], pred.shape[0]))
+
+    eng.fit(state, lambda: train_ds.batches(8, shuffle=False, drop_last=True),
+            val_batches=lambda: val_ds.batches(8, shuffle=False, drop_last=False),
+            epochs=1, vis_callback=vis)
+    assert seen == [(5, 5)]
+
+
+def test_pad_batch_to_preserves_existing_valid_mask():
+    """Re-padding an already-padded batch must keep its pad rows invalid
+    (repeating row 0's mask value would mark them real)."""
+    from audiodepth_tpu.parallel.mesh import pad_batch_to
+
+    batch = {"x": np.arange(3, dtype=np.float32).reshape(3, 1)}
+    once = pad_batch_to(batch, 4)
+    assert once["_valid"].tolist() == [1.0, 1.0, 1.0, 0.0]
+    twice = pad_batch_to(once, 8)
+    assert twice["_valid"].tolist() == [1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    # no-op pad keeps the mask too
+    same = pad_batch_to(once, 4)
+    assert same["_valid"].tolist() == [1.0, 1.0, 1.0, 0.0]
+
+
 def test_ragged_eval_tail_padded_and_masked():
     """drop_last=False tails smaller than the data axis are padded with a
     _valid mask and sharded; evaluate() means match the unsharded engine
