@@ -122,7 +122,7 @@ class BatvisionV2Dataset:
 
         clone = copy.copy(self)
         clone.instances = self.instances[
-            self.instances["audio path"].str.contains(substring)
+            self.instances["audio path"].str.contains(substring, regex=False)
         ].reset_index(drop=True)
         return clone
 
@@ -213,7 +213,7 @@ class BatvisionV1Dataset:
             n0 = len(self.instances)
             for loc in location_blacklist:
                 self.instances = self.instances[
-                    ~self.instances["audio path left"].str.contains(loc)
+                    ~self.instances["audio path left"].str.contains(loc, regex=False)
                 ]
             print(
                 f"BatvisionV1: filtered {n0 - len(self.instances)} instances "
@@ -231,8 +231,13 @@ class BatvisionV1Dataset:
         import copy
 
         clone = copy.copy(self)
+        # pin the PARENT's waveform length before cloning: if each loader
+        # lazily derived wave_len from its own first row, holdout clones of
+        # variable-length recordings would batch to a different [B,2,L]
+        # shape than the train loader (retrace + different STFT window)
+        clone._wave_len = self.wave_len
         clone.instances = self.instances[
-            self.instances["audio path left"].str.contains(substring)
+            self.instances["audio path left"].str.contains(substring, regex=False)
         ].reset_index(drop=True)
         return clone
 

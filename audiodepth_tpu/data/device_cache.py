@@ -32,13 +32,21 @@ class DeviceDatasetCache:
         Arrays are stacked host-side in compact dtypes, then device_put once.
         """
         n = len(dataset)
-        samples = [dataset.sample(i) for i in range(n)]
+        # encode each sample to the compact dtypes as it is loaded, then
+        # stack key-by-key with pop: peak host RAM stays near ONE compact
+        # copy of the split (+ the largest key's stack) instead of two full
+        # fp32 copies — ~8x less transient memory for a 20k-sample split
+        samples = []
+        for i in range(n):
+            s = dataset.sample(i)
+            enc = encode_batch(
+                {k: v[None] for k, v in s.items() if keys is None or k in keys},
+                max_depth_units,
+            )
+            samples.append({k: v[0] for k, v in enc.items()})
         stacked = {
-            k: np.stack([s[k] for s in samples])
-            for k in samples[0]
-            if keys is None or k in keys
+            k: np.stack([s.pop(k) for s in samples]) for k in list(samples[0])
         }
-        stacked = encode_batch(stacked, max_depth_units)
         self.n = n
         self.arrays = {
             k: jax.device_put(v, sharding) if sharding is not None else jax.device_put(v)

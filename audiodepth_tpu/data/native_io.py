@@ -32,16 +32,29 @@ _SO = os.path.join(os.path.dirname(__file__), "..", "..", "native", "libadepth_i
 def _build() -> Optional[str]:
     src = os.path.abspath(_SRC)
     so = os.path.abspath(_SO)
-    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
-        return so
+    try:
+        if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+            return so
+    except OSError:
+        # source absent (e.g. installed without the native tree): use the
+        # prebuilt .so if there is one
+        return so if os.path.exists(so) else None
+    # compile to a private temp name, then os.replace (atomic on POSIX):
+    # a concurrent builder in another process never sees a half-written .so
+    tmp = f"{so}.{os.getpid()}.tmp"
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-             "-o", so, src, "-lpthread"],
+             "-o", tmp, src, "-lpthread"],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, so)
         return so
     except Exception:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return None
 
 
@@ -54,26 +67,47 @@ def _load() -> Optional[ctypes.CDLL]:
         so = _build()
         if so is None:
             return None
-        lib = ctypes.CDLL(so)
-        lib.adepth_decode_wav_i16.restype = ctypes.c_int
-        lib.adepth_decode_wav_i16.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.adepth_load_depth_u16.restype = ctypes.c_int
-        lib.adepth_load_depth_u16.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint16),
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_float, ctypes.c_int32,
-        ]
-        lib.adepth_assemble_batch.restype = ctypes.c_int
-        lib.adepth_assemble_batch.argtypes = [
-            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64,
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
-            ctypes.c_int32, ctypes.POINTER(ctypes.c_int16),
-            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int32,
-        ]
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            # corrupt cached .so (older interrupted build): rebuild once
+            try:
+                os.remove(so)
+            except OSError:
+                return None
+            so = _build()
+            if so is None:
+                return None
+            try:
+                lib = ctypes.CDLL(so)
+            except OSError:
+                return None
+        try:
+            _bind(lib)
+        except AttributeError:  # stale .so missing a symbol
+            return None
         _LIB = lib
         return _LIB
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    lib.adepth_decode_wav_i16.restype = ctypes.c_int
+    lib.adepth_decode_wav_i16.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.adepth_load_depth_u16.restype = ctypes.c_int
+    lib.adepth_load_depth_u16.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_float, ctypes.c_int32,
+    ]
+    lib.adepth_assemble_batch.restype = ctypes.c_int
+    lib.adepth_assemble_batch.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_uint16), ctypes.c_int32,
+    ]
 
 
 def available() -> bool:

@@ -57,6 +57,16 @@ def sharded_magnitude_stft(
     # frames per shard and total padded sample length
     t_per = -(-t_frames // n)                       # ceil
     lc = t_per * hop_length                         # chunk length (hop-aligned)
+    if lc < halo:
+        # the halo exchange forwards each shard's first `halo` samples; a
+        # chunk shorter than the halo would make the boundary-frame gather
+        # silently clamp-read duplicated edge samples
+        raise ValueError(
+            f"sharded STFT needs >= win-hop = {halo} samples per shard, got "
+            f"{lc} ({t_per} frames x hop {hop_length} over {n} '{axis}' "
+            f"shards) — shard the frame axis over fewer devices or use a "
+            f"longer signal"
+        )
     need = n * lc + halo                            # last frame's window tail
     if y.shape[-1] < need:
         y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, need - y.shape[-1])])

@@ -133,6 +133,47 @@ def test_bv1_blacklist(bv1_root):
     assert len(ds) == 1
 
 
+def test_bv1_holdout_clone_shares_wave_len(tmp_path):
+    """filter_by_audio_path pins the PARENT's waveform length: with
+    variable-length recordings, holdout loaders must batch to the same
+    [B,2,L] as the train loader (no retrace, same STFT window)."""
+    rng = np.random.default_rng(2)
+    rows = []
+    for i, (loc, length) in enumerate([("seqA", 4000), ("seqA", 4000),
+                                       ("seqB", 3000)]):
+        (tmp_path / loc).mkdir(exist_ok=True)
+        np.save(tmp_path / loc / f"d{i}.npy",
+                rng.uniform(0, 12000, size=(16, 16)).astype(np.float32))
+        for side in ("l", "r"):
+            np.save(tmp_path / loc / f"{side}{i}.npy",
+                    rng.normal(size=length).astype(np.float32))
+        rows.append(f"{loc}/d{i}.npy,{loc}/l{i}.npy,{loc}/r{i}.npy")
+    (tmp_path / "train.csv").write_text(
+        "depth path,audio path left,audio path right\n" + "\n".join(rows) + "\n"
+    )
+    cfg = load_config("batvisionv1", overrides={
+        "dataset.dataset_dir": str(tmp_path), "dataset.images_size": 16,
+    })
+    ds = BatvisionV1Dataset(cfg, "train.csv")
+    holdout = ds.filter_by_audio_path("seqB")  # cloned BEFORE wave_len access
+    assert holdout.wave_len == ds.wave_len == 4000
+    assert holdout.sample(0)["waveform"].shape == (2, 4000)
+
+
+def test_holdout_filter_is_literal_not_regex(bv2_root):
+    """Location names with regex metacharacters must match literally."""
+    cfg = load_config("batvisionv2", overrides={
+        "dataset.dataset_dir": str(bv2_root), "dataset.images_size": 32,
+    })
+    from audiodepth_tpu.data.batvision import BatvisionV2Dataset
+
+    ds = BatvisionV2Dataset(cfg, "train.csv")
+    # '(1)' would raise re.error with regex=True if unbalanced, and '.'
+    # would over-match; a literal non-matching pattern returns 0 rows
+    assert len(ds.filter_by_audio_path("room(1)")) == 0
+    assert len(ds.filter_by_audio_path("n+o(n.e")) == 0
+
+
 def test_wav_roundtrip(tmp_path):
     rng = np.random.default_rng(2)
     data = rng.uniform(-0.5, 0.5, size=(2, 1000)).astype(np.float32)

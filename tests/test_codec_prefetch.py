@@ -23,6 +23,36 @@ def test_waveform_roundtrip_is_pcm_exact():
     np.testing.assert_array_equal(np.asarray(dec["waveform"])[0, 0], wave)
 
 
+def test_waveform_above_unit_range_not_clipped():
+    """Raw .npy waveforms (BV1) can exceed [-1,1]; the per-sample scale
+    factor must preserve them instead of hard-clipping to +/-1."""
+    rng = np.random.default_rng(3)
+    wave = (rng.normal(size=(2, 2, 4000)) * 5.0).astype(np.float32)
+    enc = encode_batch({"waveform": wave}, 30.0)
+    assert enc["waveform"].dtype == np.int16
+    assert enc["waveform_scale"].shape == (2,)
+    dec = decode_batch({k: np.asarray(v) for k, v in enc.items()}, 30.0)
+    assert "waveform_scale" not in dec
+    got = np.asarray(dec["waveform"])
+    peak = np.abs(wave).max()
+    assert np.abs(got - wave).max() < peak / 32768 * 1.01  # 1 LSB at scale
+    # in-range audio keeps scale 1.0 (PCM-exact path unchanged)
+    pcm = np.clip(rng.normal(size=(1, 2, 100)), -0.99, 0.99).astype(np.float32)
+    assert encode_batch({"waveform": pcm}, 30.0)["waveform_scale"].tolist() == [1.0]
+
+
+def test_nonfinite_depth_encodes_to_invalid_zero():
+    """NaN/Inf depth pixels map to 0 (the invalid-mask value), matching the
+    native loader's scrub and the reference's BV1 scrub — never an
+    undefined float→uint16 cast."""
+    depth = np.array([[np.nan, np.inf], [-np.inf, 3.0]],
+                     np.float32).reshape(1, 2, 2, 1)
+    enc = encode_batch({"depth": depth}, 30.0)
+    dec = np.asarray(decode_batch({k: np.asarray(v) for k, v in enc.items()}, 30.0)["depth"])
+    assert dec[0, 0, 0, 0] == 0.0 and dec[0, 0, 1, 0] == 0.0 and dec[0, 1, 0, 0] == 0.0
+    assert abs(dec[0, 1, 1, 0] - 3.0) < 30.0 / 65535.0
+
+
 def test_depth_roundtrip_submillimeter():
     rng = np.random.default_rng(0)
     depth = rng.uniform(0, 30, size=(1, 16, 16, 1)).astype(np.float32)

@@ -119,3 +119,37 @@ def test_bv2_native_batches_match_python(tmp_path):
     py_enc = encode_batch(py, 30.0)
     np.testing.assert_array_equal(nat["waveform"], py_enc["waveform"])
     np.testing.assert_array_equal(nat["depth"], py_enc["depth"])
+
+
+def test_corrupt_cached_so_recovers(tmp_path, monkeypatch):
+    """A truncated/corrupt cached .so (interrupted or concurrent build) must
+    trigger a rebuild, not a permanent OSError from available().
+
+    Runs against a TEMP copy of the native tree: corrupting the real .so in
+    place would invalidate this process's existing dlopen mapping (dlopen
+    caches by path), which is exactly the hazard the atomic-build fix
+    prevents for fresh processes.
+    """
+    import os
+    import shutil
+
+    src = tmp_path / "adepth_io.cpp"
+    so = tmp_path / "libadepth_io.so"
+    shutil.copy(os.path.abspath(native_io._SRC), src)
+    so.write_bytes(b"\x7fELFgarbage")
+    st = os.stat(src)
+    os.utime(so, (st.st_atime + 10, st.st_mtime + 10))  # fresh mtime: cache accepts it
+
+    monkeypatch.setattr(native_io, "_SRC", str(src))
+    monkeypatch.setattr(native_io, "_SO", str(so))
+    monkeypatch.setattr(native_io, "_LIB", None)
+    monkeypatch.setattr(native_io, "_TRIED", False)
+    try:
+        assert native_io.available()  # corrupt cache detected, rebuilt from source
+        assert so.stat().st_size > 1000  # the rebuilt real library
+    finally:
+        # restore the module-level loader state for later tests
+        monkeypatch.undo()
+        native_io._LIB = None
+        native_io._TRIED = False
+        assert native_io.available()

@@ -28,6 +28,19 @@ def test_sharded_small_mesh():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_stft_rejects_chunks_shorter_than_halo():
+    """A shard chunk shorter than the win-hop halo would clamp-gather
+    duplicated edge samples; the op must refuse loudly instead."""
+    wave = np.zeros((1, 2, 300), np.float32)  # 19 frames over 8 shards → 3
+    # frames/shard = 48 samples = halo: OK at exactly the boundary
+    mesh = make_mesh()
+    sharded_magnitude_stft(wave, mesh, "data", 512, 64, 16)
+    with pytest.raises(ValueError, match="win-hop"):
+        # 150 samples → 10 frames → 2/shard → 32 < 48
+        sharded_magnitude_stft(np.zeros((1, 2, 150), np.float32),
+                               mesh, "data", 512, 64, 16)
+
+
 def test_sharded_stft_wired_through_engine():
     """Production wiring (SURVEY §2.6 SP row): under a DP×SP mesh, the
     plain-STFT front end runs through the halo-exchange sharded STFT
