@@ -93,6 +93,18 @@ class CheckpointManager:
         if aux_template is None:
             meta = self._mgr.item_metadata(epoch)
             aux_meta = meta.tree.get("aux") if hasattr(meta, "tree") else None
+            if aux_meta is None and meta is None:
+                # fresh-process manager (no handler registry): item_metadata
+                # is None, so an aux-bearing checkpoint (coarse bins) would
+                # fail the templated restore with a tree mismatch — read the
+                # step's on-disk metadata directly instead
+                try:
+                    m = ocp.StandardCheckpointer().metadata(
+                        os.path.join(self.directory, str(epoch), "default"))
+                    tree = m.item_metadata.tree
+                    aux_meta = tree.get("aux") if tree else None
+                except Exception:
+                    aux_meta = None
             if aux_meta is not None:
                 aux_template = jax.tree_util.tree_map(
                     lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), aux_meta

@@ -72,9 +72,7 @@ def main(argv=None):
     from ..configs import experiment_name, load_config
     from ..ckpt import CheckpointManager
     from ..data.batvision import make_dataset
-    from ..metrics import METRIC_NAMES
     from ..models import make_task
-    from ..obs import save_batch_visualization
     from ..train import Engine
 
     from .common import model_shape_overrides
@@ -111,6 +109,15 @@ def main(argv=None):
     ds = make_dataset(cfg, args.eval_on, **ds_kwargs)
     eng = Engine(cfg, task)
     sample = next(ds.batches(bs, shuffle=False, drop_last=False))
+    if cfg.model.name == "adabins_distillation" and "image" not in sample:
+        # training checkpoints contain the frozen RGB teacher subtree, so
+        # the restore template must too — init with a dummy image (eval
+        # itself stays student-only on audio,
+        # train_adabins_distillation.py:481-522)
+        n = next(iter(sample.values())).shape[0]
+        sz = cfg.dataset.images_size
+        sample = dict(sample)
+        sample["image"] = np.zeros((n, sz, sz, 3), np.float32)
     state = eng.init_state(jax.random.PRNGKey(0), sample)
 
     if args.torch_checkpoint:
@@ -126,6 +133,9 @@ def main(argv=None):
             params=variables["params"],
             batch_stats=variables.get("batch_stats", state.batch_stats),
         )
+        # reference coarse checkpoints embed the trained bin parameters
+        # (train_coarse_depth.py:632-640)
+        task.restore_aux(itorch.load_torch_aux(args.torch_checkpoint))
         exp = (experiment_name(cfg) if args.experiment_name == "default"
                else args.experiment_name)
         epoch = "torch"
@@ -157,6 +167,8 @@ def main(argv=None):
         raise SystemExit(
             f"checkpoint not found under {mgr.directory}; available epochs: {avail}"
         )
+    # adopt trained aux (coarse bins) BEFORE the eval forward traces
+    task.restore_aux(aux)
     return _run_eval(args, cfg, task, ds, eng, state, exp, epoch, bs)
 
 

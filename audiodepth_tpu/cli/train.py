@@ -504,8 +504,19 @@ def main(argv=None):
             cache_train, cache_val = _BinnedView(train_ds), _BinnedView(val_ds)
 
         units = 1.0 if cfg.dataset.depth_norm else float(cfg.dataset.max_depth)
-        train_src = DeviceDatasetCache(cache_train, max_depth_units=units)
-        val_src = DeviceDatasetCache(cache_val, max_depth_units=units)
+        # under a mesh, shard the cached split row-wise across the data
+        # axis: every chip's HBM carries 1/n of the corpus and the per-step
+        # gather rides ICI, instead of pinning the whole split (and every
+        # gather) to device 0
+        cache_sharding = None
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            cache_sharding = batch_sharding(mesh, cfg.mode.data_axis)
+        train_src = DeviceDatasetCache(cache_train, max_depth_units=units,
+                                       sharding=cache_sharding)
+        val_src = DeviceDatasetCache(cache_val, max_depth_units=units,
+                                     sharding=cache_sharding)
         print(f"device cache: {train_src.nbytes() / 1e6:.0f} MB train, "
               f"{val_src.nbytes() / 1e6:.0f} MB val in HBM")
     else:
@@ -581,6 +592,9 @@ def main(argv=None):
                 logger.log_image("val/visualization", png, step=epoch)
 
     logger = MetricLogger(args.log_dir, exp, use_wandb=args.use_wandb,
+                          wandb_project=args.wandb_project,
+                          wandb_entity=args.wandb_entity,
+                          wandb_mode=args.wandb_mode,
                           config=to_dict(cfg))
     # architecture dump (train.py:576-597 architecture.txt equivalent)
     try:

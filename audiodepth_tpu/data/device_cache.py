@@ -47,6 +47,21 @@ class DeviceDatasetCache:
         stacked = {
             k: np.stack([s.pop(k) for s in samples]) for k in list(samples[0])
         }
+        # a row-sharded cache needs the row count to divide the shard count;
+        # pad rows are never gathered (indices stay < n)
+        n_shards = 1
+        if sharding is not None and getattr(sharding, "spec", None):
+            spec0 = sharding.spec[0] if len(sharding.spec) else None
+            if spec0 is not None:
+                n_shards = int(np.prod([sharding.mesh.shape[a] for a in
+                                        (spec0 if isinstance(spec0, tuple) else (spec0,))]))
+        if n % n_shards:
+            pad = n_shards - n % n_shards
+            stacked = {
+                k: np.concatenate(
+                    [v, np.broadcast_to(v[:1], (pad,) + v.shape[1:])])
+                for k, v in stacked.items()
+            }
         self.n = n
         self.arrays = {
             k: jax.device_put(v, sharding) if sharding is not None else jax.device_put(v)

@@ -28,11 +28,18 @@ def device_prefetch(
     cutting host-link bytes ~3.3x; the jitted step decodes on device.
     """
     if mesh is not None:
-        from ..parallel.mesh import batch_sharding
+        from ..parallel.mesh import shard_batch
 
-        sharding = batch_sharding(mesh, axis)
+        # shard_batch, NOT a bare device_put with a global NamedSharding:
+        # under multi-process each host holds only its LOCAL rows, and the
+        # global array must come from make_array_from_process_local_data
+        def place(batch):
+            return shard_batch(batch, mesh, axis)
     else:
-        sharding = jax.devices()[0]
+        dev = jax.devices()[0]
+
+        def place(batch):
+            return {k: jax.device_put(v, dev) for k, v in batch.items()}
 
     if encode_units is not None:
         from .codec import encode_batch
@@ -42,7 +49,7 @@ def device_prefetch(
             return batch  # already device-resident (e.g. DeviceDatasetCache)
         if encode_units is not None:
             batch = encode_batch(batch, encode_units)
-        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        return place(batch)
 
     queue: collections.deque = collections.deque()
     it = iter(batches)

@@ -26,6 +26,8 @@ class MetricLogger:
         use_wandb: bool = False,
         wandb_project: str = "batvision-depth-estimation",
         config: Optional[Dict[str, Any]] = None,
+        wandb_entity: Optional[str] = None,
+        wandb_mode: Optional[str] = None,
     ):
         self.experiment_name = experiment_name
         self._jsonl = None
@@ -37,9 +39,24 @@ class MetricLogger:
             try:
                 import wandb
 
-                self._wandb = wandb.init(
-                    project=wandb_project, name=experiment_name, config=config or {}
-                )
+                if getattr(wandb, "run", None) is not None:
+                    # a run already exists (cli/train.py's sweep-style early
+                    # init): adopt it — a second wandb.init is ignored by an
+                    # active run, which would drop the experiment name/config
+                    wandb.run.name = experiment_name
+                    if config:
+                        wandb.config.update(config, allow_val_change=True)
+                    self._wandb = wandb.run
+                else:
+                    init_kwargs: Dict[str, Any] = {
+                        "project": wandb_project, "name": experiment_name,
+                        "config": config or {},
+                    }
+                    if wandb_entity:
+                        init_kwargs["entity"] = wandb_entity
+                    if wandb_mode:
+                        init_kwargs["mode"] = wandb_mode
+                    self._wandb = wandb.init(**init_kwargs)
             except Exception as e:  # wandb absent or offline: degrade
                 print(f"[obs] wandb unavailable ({e}); logging to stdout/jsonl only")
 

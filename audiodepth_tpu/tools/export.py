@@ -61,6 +61,10 @@ def main(argv=None):
     p.add_argument("--out", default="./export/inference.stablehlo")
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--experiment_name", default=None)
+    p.add_argument("--checkpoints", type=int, default=None,
+                   help="epoch to export (default latest)")
+    p.add_argument("--use_best", action="store_true",
+                   help="export the best-validation checkpoint (best.json)")
     # model hyperparameters must match the checkpoint being exported
     from ..cli.common import add_model_shape_args, model_shape_overrides
 
@@ -84,8 +88,11 @@ def main(argv=None):
         # template (incl. opt_state) from on-disk metadata and discards the
         # optimizer, so any real training checkpoint loads here
         mgr = CheckpointManager(args.ckpt_dir, args.experiment_name)
-        params, batch_stats, _aux, epoch = mgr.restore_eval()
+        epoch_req = "best" if (args.use_best and args.checkpoints is None) \
+            else args.checkpoints
+        params, batch_stats, aux, epoch = mgr.restore_eval(epoch=epoch_req)
         print(f"restored epoch {epoch} from {mgr.directory}")
+        task.restore_aux(aux)  # e.g. coarse bin centers baked into the graph
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats

@@ -34,6 +34,7 @@ def main(argv=None):
 
     import os
 
+    import numpy as np
     import torch
 
     from ..ckpt import CheckpointManager
@@ -45,7 +46,7 @@ def main(argv=None):
 
     mgr = CheckpointManager(args.ckpt_dir, args.experiment_name)
     epoch_req = "best" if (args.use_best and args.checkpoints is None) else args.checkpoints
-    params, batch_stats, _aux, epoch = mgr.restore_eval(epoch=epoch_req)
+    params, batch_stats, aux, epoch = mgr.restore_eval(epoch=epoch_req)
     variables = {"params": params}
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
@@ -53,6 +54,12 @@ def main(argv=None):
     sd = export_for_config(cfg, variables)
     payload = {"state_dict": {k: torch.from_numpy(v.copy()) for k, v in sd.items()},
                "epoch": int(epoch)}
+    if aux:
+        # coarse checkpoints embed bins next to the weights in the
+        # reference format (train_coarse_depth.py:632-640)
+        for key in ("bin_centers", "bin_edges"):
+            if aux.get(key) is not None:
+                payload[key] = torch.from_numpy(np.asarray(aux[key]).copy())
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     torch.save(payload, args.out)
     print(f"exported epoch {epoch} ({len(sd)} tensors) → {args.out}")

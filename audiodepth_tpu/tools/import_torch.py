@@ -65,6 +65,25 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     return sd
 
 
+def load_torch_aux(path: str) -> Dict[str, np.ndarray]:
+    """Non-weight payloads from a reference checkpoint wrapper.
+
+    The coarse-depth driver embeds bin_centers/bin_edges next to the
+    state_dict (train_coarse_depth.py:632-640); evaluation must adopt them
+    or soft-binning runs over the wrong centers.
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    aux = {}
+    if isinstance(obj, dict):
+        for key in ("bin_centers", "bin_edges"):
+            v = obj.get(key)
+            if v is not None:
+                aux[key] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return aux
+
+
 def _conv_kernel(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
 

@@ -346,7 +346,9 @@ class Engine:
                         {
                             "train/loss": last_metrics.get("loss"),
                             "train/grad_norm": last_metrics.get("grad_norm"),
-                            "train/lr": float(self._lr_schedule(epoch * self._steps_per_epoch)),
+                            # the lr this epoch STARTED at — epoch N's steps run
+                        # the schedule from (N-1)*steps_per_epoch
+                        "train/lr": float(self._lr_schedule((epoch - 1) * self._steps_per_epoch)),
                             "train/epoch_time": dt,
                             "train/pairs_per_sec_per_chip": n_samples / max(dt, 1e-9) / chips,
                         },
@@ -399,6 +401,9 @@ class Engine:
                 completed_state = (
                     self._snapshot_state(state) if installed else state)
         finally:
+            if profiler is not None:
+                profiler.stop()  # idempotent; finalizes the trace if a
+                # preemption broke out of the profiled epoch mid-window
             if installed:
                 _signal.signal(_signal.SIGTERM, old_handler or _signal.SIG_DFL)
         if preempt["sig"] is not None:
@@ -413,6 +418,14 @@ class Engine:
                 print("[engine] preempted before the first epoch completed; "
                       "nothing new to checkpoint")
             return completed_state
+        if (ckpt_manager is not None and epochs >= start_epoch
+                and epochs % cfg.saving_checkpoints != 0):
+            # the reference only saves on the cadence (train.py:1005-1021),
+            # so a completed run's tail epochs were never serialized; always
+            # checkpoint the final epoch so --resume/evaluate see the run's
+            # actual end state
+            aux = getattr(self.task, "checkpoint_aux", lambda: None)()
+            ckpt_manager.save(epochs, state, aux=aux)
         return state
 
     # ------------------------------------------------------------------

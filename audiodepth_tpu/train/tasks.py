@@ -45,6 +45,11 @@ class Task:
         self._frontend = make_frontend(cfg)
         self.model = None  # set by subclass
 
+    def restore_aux(self, aux) -> None:
+        """Consume a checkpoint's aux payload before evaluation (e.g. the
+        coarse family's bin_edges/bin_centers, which parameterize the
+        forward but are not flax params). Base: nothing to restore."""
+
     def attach_mesh(self, mesh) -> None:
         """Rebuild the front end mesh-aware (Engine calls this when its
         mesh has a 'model' axis): plain-STFT waveforms then run through the

@@ -93,6 +93,23 @@ class CoarseDepthTask(Task):
         return {"bin_edges": np.asarray(self.bin_edges),
                 "bin_centers": np.asarray(self.bin_centers)}
 
+    def restore_aux(self, aux) -> None:
+        """Adopt the TRAINED bin parameterization from a checkpoint: a
+        checkpoint trained with a different bin_strategy/depth_min/sid_alpha
+        has the same param shapes, so without this the eval forward would
+        silently soft-bin over the config-default centers."""
+        if not aux:
+            return
+        if aux.get("bin_edges") is not None:
+            self.bin_edges = np.asarray(aux["bin_edges"])
+        if aux.get("bin_centers") is not None:
+            centers = np.asarray(aux["bin_centers"])
+            if centers.shape != (self.n_bins,):
+                raise ValueError(
+                    f"checkpoint bin_centers have {centers.shape[0]} bins, "
+                    f"model is configured for {self.n_bins} — pass --n_bins")
+            self.bin_centers = jnp.asarray(centers)
+
     def _apply(self, params, batch_stats, x, train, rng=None):
         variables = {"params": params}
         mutable = []

@@ -440,3 +440,75 @@ def test_sequence_holdout_aliases():
     bare = build_parser().parse_args(["--sequence_holdout"])
     with pytest.raises(SystemExit):
         fold_holdout_args(bare)
+
+
+def test_train_then_evaluate_adabins(tmp_path):
+    """adabins training checkpoints carry the frozen RGB teacher subtree;
+    the eval CLI must init a matching template (it used to fail the orbax
+    restore with 'tree structures do not match')."""
+    ckpt = str(tmp_path / "ck")
+    train_main([
+        "--dataset", "synthetic", "--model", "adabins_distillation",
+        "--experiment_name", "adaevalsmoke", "--base_channels", "8",
+        "--n_bins", "8", "--epochs", "1", "--batch_size", "2",
+        "--num_samples", "4", "--compute_dtype", "float32", "--no_visualize",
+        "--ckpt_dir", ckpt, "--log_dir", str(tmp_path / "lg"),
+    ])
+    exp = os.listdir(ckpt)[0]
+    means = eval_main([
+        "--dataset", "synthetic", "--model", "adabins_distillation",
+        "--experiment_name", exp, "--base_channels", "8", "--n_bins", "8",
+        "--compute_dtype", "float32", "--eval_on", "val", "--batch_size", "2",
+        "--ckpt_dir", ckpt, "--stat_dir", str(tmp_path / "eval"),
+    ])
+    assert np.isfinite(means["rmse"])
+
+
+def test_coarse_eval_restores_trained_bins(tmp_path):
+    """Coarse checkpoints embed bin_edges/bin_centers; evaluation must adopt
+    them — a checkpoint trained with --bin_strategy linear has the same
+    param shapes as the sid default, so without restore_aux the forward
+    would silently soft-bin over the wrong centers."""
+    from audiodepth_tpu.ckpt import CheckpointManager
+    from audiodepth_tpu.configs import load_config
+    from audiodepth_tpu.models import make_task
+
+    ckpt = str(tmp_path / "ck")
+    train_main([
+        "--dataset", "synthetic", "--model", "coarse_depth",
+        "--model_type", "lite", "--base_channels", "8", "--n_bins", "8",
+        "--bin_strategy", "linear", "--experiment_name", "binrestore",
+        "--epochs", "1", "--batch_size", "2", "--num_samples", "4",
+        "--compute_dtype", "float32", "--no_visualize",
+        "--ckpt_dir", ckpt, "--log_dir", str(tmp_path / "lg"),
+    ])
+    exp = os.listdir(ckpt)[0]
+    _, _, aux, _ = CheckpointManager(ckpt, exp).restore_eval()
+    # trained centers are linear (evenly spaced)
+    diffs = np.diff(np.asarray(aux["bin_centers"]))
+    np.testing.assert_allclose(diffs, diffs[0], rtol=1e-4)
+
+    over = {"model.model_type": "lite", "model.base_channels": 8,
+            "model.n_bins": 8}
+    task = make_task(load_config("synthetic", "test", exp, "coarse_depth",
+                                 overrides=over))  # default sid centers
+    default_centers = np.asarray(task.bin_centers)
+    task.restore_aux(aux)
+    assert not np.allclose(np.asarray(task.bin_centers), default_centers)
+    np.testing.assert_allclose(np.asarray(task.bin_centers),
+                               np.asarray(aux["bin_centers"]))
+    # a bin-count mismatch fails loudly, not silently
+    task16 = make_task(load_config("synthetic", "test", exp, "coarse_depth",
+                                   overrides={**over, "model.n_bins": 16}))
+    with pytest.raises(ValueError, match="bins"):
+        task16.restore_aux(aux)
+
+    # end-to-end: the eval CLI (no --bin_strategy flag) adopts the bins
+    means = eval_main([
+        "--dataset", "synthetic", "--model", "coarse_depth",
+        "--model_type", "lite", "--base_channels", "8", "--n_bins", "8",
+        "--compute_dtype", "float32", "--eval_on", "val", "--batch_size", "2",
+        "--experiment_name", exp,
+        "--ckpt_dir", ckpt, "--stat_dir", str(tmp_path / "eval"),
+    ])
+    assert np.isfinite(means["rmse"])

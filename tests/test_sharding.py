@@ -59,6 +59,30 @@ def test_batch_sharding_layout():
     assert sharded.addressable_shards[0].data.shape == (2, 4)
 
 
+def test_device_cache_sharded_over_mesh():
+    """--device_cache under a mesh shards the cached split row-wise over the
+    data axis (it used to pin everything to device 0); gathers stay exact,
+    including a row count that does not divide the axis."""
+    from audiodepth_tpu.data.codec import decode_batch
+    from audiodepth_tpu.data.device_cache import DeviceDatasetCache
+    from audiodepth_tpu.parallel.mesh import batch_sharding
+
+    cfg = load_config("batvisionv2", "train", "t", "unet_baseline",
+                      overrides={"dataset.images_size": 64})
+    ds = SyntheticEchoDataset(cfg, num_samples=13, seed=9)  # 13 % 8 != 0
+    mesh = make_mesh()
+    cache = DeviceDatasetCache(ds, max_depth_units=30.0,
+                               sharding=batch_sharding(mesh))
+    assert len(cache.arrays["depth"].sharding.device_set) == 8
+    batches = list(cache.batches(4, shuffle=False, drop_last=False))
+    assert sum(next(iter(b.values())).shape[0] for b in batches) == 13
+    dec = decode_batch({k: np.asarray(v) for k, v in batches[0].items()}, 30.0)
+    ref = ds.sample(0)
+    np.testing.assert_allclose(dec["depth"][0], ref["depth"],
+                               atol=30.0 / 65535 * 1.01)
+    np.testing.assert_allclose(dec["waveform"][0], ref["waveform"], atol=2e-4)
+
+
 def test_vis_callback_pred_row_aligned_with_ragged_val_batch():
     """fit()'s first-val-batch diagnostics run through put_batch, which pads
     ragged batches on a mesh; the callback must still receive a pred

@@ -137,6 +137,30 @@ def test_evaluate_aggregates():
     assert set(means) >= {"abs_rel", "rmse", "delta1", "loss"}
 
 
+def test_fit_checkpoints_final_epoch(tmp_path):
+    """A completed run must serialize its final epoch even off the
+    saving_checkpoints cadence (the reference leaves tail epochs unsaved,
+    train.py:1005-1021) — otherwise epochs=1 with the default cadence of 10
+    produces NO checkpoint at all."""
+    from audiodepth_tpu.ckpt import CheckpointManager
+
+    cfg = small_cfg("batvisionv2", **{"mode.saving_checkpoints": 10,
+                                      "mode.validation": False})
+    ds = SyntheticEchoDataset(cfg, num_samples=8, seed=7)
+    task = make_task(cfg)
+    eng = Engine(cfg, task)
+    state = eng.init_state(jax.random.PRNGKey(0), next(ds.batches(4, shuffle=False)))
+    mgr = CheckpointManager(str(tmp_path / "ck"), "finalsave")
+    out = eng.fit(state, lambda: ds.batches(4, shuffle=False, drop_last=True),
+                  val_batches=None, epochs=3, ckpt_manager=mgr)
+    mgr.wait()
+    assert mgr.latest_epoch() == 3
+    restored, _, epoch = mgr.restore(
+        eng.init_state(jax.random.PRNGKey(0), next(ds.batches(4, shuffle=False))))
+    assert epoch == 3 and int(restored.step) == int(out.step)
+    mgr.close()
+
+
 def test_preemption_checkpoint_and_resume(tmp_path):
     """SIGTERM mid-epoch → fit stops at the step boundary, discards the
     partial epoch, checkpoints the last COMPLETED epoch, and restores the
