@@ -174,6 +174,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoints", type=int, default=None,
                    help="epoch to resume from (default: auto-latest)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--init_from_torch", default=None, metavar="PTH",
+                   help="warm-start from a reference .pth checkpoint "
+                        "(tools/import_torch): weights only, fresh "
+                        "optimizer — the reference's own resume semantics "
+                        "(train.py:603-606 loads only state_dict) — "
+                        "continuing from the wrapper's saved epoch+1")
     p.add_argument("--ckpt_dir", default="./checkpoints")
     p.add_argument("--log_dir", default="./logs")
     p.add_argument("--best_metric", default="rmse",
@@ -557,7 +563,31 @@ def main(argv=None):
 
     mgr = CheckpointManager(args.ckpt_dir, exp)
     start_epoch = 1
-    if args.resume or args.checkpoints is not None:
+    if args.init_from_torch:
+        if args.resume or args.checkpoints is not None:
+            raise SystemExit(
+                "--init_from_torch conflicts with --resume/--checkpoints: "
+                "a torch warm-start IS the reference's resume (weights "
+                "only); drop one of the flags")
+        from ..tools import import_torch as itorch
+
+        sd = itorch.load_torch_state_dict(args.init_from_torch)
+        variables = itorch.import_for_config(cfg, sd)
+        itorch.check_structure(
+            variables,
+            {"params": state.params, "batch_stats": state.batch_stats},
+        )
+        state = state.replace(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", state.batch_stats),
+        )
+        aux = itorch.load_torch_aux(args.init_from_torch)
+        task.restore_aux(aux)
+        if aux.get("epoch") is not None:
+            start_epoch = int(aux["epoch"]) + 1
+        print(f"warm-started from torch checkpoint {args.init_from_torch} "
+              f"({len(sd)} tensors), starting at epoch {start_epoch}")
+    elif args.resume or args.checkpoints is not None:
         try:
             state, _, restored = mgr.restore(state, epoch=args.checkpoints)
             start_epoch = restored + 1

@@ -65,6 +65,11 @@ def main(argv=None):
                    help="epoch to export (default latest)")
     p.add_argument("--use_best", action="store_true",
                    help="export the best-validation checkpoint (best.json)")
+    p.add_argument("--torch_checkpoint", default=None,
+                   help="reference .pth checkpoint (train.py:1005-1021 "
+                        "format) to export directly — the migration path "
+                        "from a reference training run to a TPU-servable "
+                        "StableHLO artifact")
     # model hyperparameters must match the checkpoint being exported
     from ..cli.common import add_model_shape_args, model_shape_overrides
 
@@ -81,7 +86,20 @@ def main(argv=None):
     ds = SyntheticEchoDataset(cfg, num_samples=1)
     batch = next(ds.batches(1, shuffle=False))
     variables = task.init(jax.random.PRNGKey(0), batch)
-    if args.ckpt_dir and args.experiment_name:
+    if args.torch_checkpoint:
+        # reference .pth → flax params (tools/import_torch); unused subtrees
+        # (e.g. the adabins frozen teacher) ride along harmlessly — the
+        # inference graph only reads the student path
+        from . import import_torch as itorch
+
+        sd = itorch.load_torch_state_dict(args.torch_checkpoint)
+        variables = itorch.import_for_config(cfg, sd)
+        # coarse checkpoints embed the trained bin parameterization
+        # (train_coarse_depth.py:632-640) — bake it into the graph
+        task.restore_aux(itorch.load_torch_aux(args.torch_checkpoint))
+        print(f"imported torch checkpoint {args.torch_checkpoint} "
+              f"({len(sd)} tensors)")
+    elif args.ckpt_dir and args.experiment_name:
         from ..ckpt import CheckpointManager
 
         # load trained params into the export: restore_eval builds the full

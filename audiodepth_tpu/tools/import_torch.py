@@ -70,7 +70,9 @@ def load_torch_aux(path: str) -> Dict[str, np.ndarray]:
 
     The coarse-depth driver embeds bin_centers/bin_edges next to the
     state_dict (train_coarse_depth.py:632-640); evaluation must adopt them
-    or soft-binning runs over the wrong centers.
+    or soft-binning runs over the wrong centers. The wrapper's saved
+    'epoch' (train.py:1005-1017) is surfaced too so a warm-start can
+    continue from epoch+1 like the reference's resume (train.py:603-606).
     """
     import torch
 
@@ -81,6 +83,8 @@ def load_torch_aux(path: str) -> Dict[str, np.ndarray]:
             v = obj.get(key)
             if v is not None:
                 aux[key] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        if isinstance(obj.get("epoch"), (int, np.integer)):
+            aux["epoch"] = int(obj["epoch"])
     return aux
 
 

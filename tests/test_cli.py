@@ -512,3 +512,55 @@ def test_coarse_eval_restores_trained_bins(tmp_path):
         "--ckpt_dir", ckpt, "--stat_dir", str(tmp_path / "eval"),
     ])
     assert np.isfinite(means["rmse"])
+
+
+def test_init_from_torch_warm_start(tmp_path, capsys):
+    """--init_from_torch continues a reference training run on TPU: weights
+    load, the optimizer starts fresh, and the epoch counter resumes from
+    the .pth wrapper's saved epoch + 1 (train.py:603-606 semantics)."""
+    from audiodepth_tpu.ckpt import CheckpointManager
+    from audiodepth_tpu.tools.export_torch import main as export_torch_main
+
+    shape = ["--generator", "unet_128", "--ngf", "4"]
+    ckpt = str(tmp_path / "ck")
+    train_main([
+        "--dataset", "synthetic", "--model", "unet_baseline",
+        "--experiment_name", "warmsrc", *shape,
+        "--epochs", "3", "--batch_size", "2", "--num_samples", "4",
+        "--compute_dtype", "float32", "--no_visualize",
+        "--ckpt_dir", ckpt, "--log_dir", str(tmp_path / "lg"),
+    ])
+    exp = os.listdir(ckpt)[0]
+    pth = str(tmp_path / "ref.pth")
+    export_torch_main([
+        "--dataset", "synthetic", "--model", "unet_baseline", *shape,
+        "--ckpt_dir", ckpt, "--experiment_name", exp, "--out", pth,
+    ])
+
+    ckpt2 = str(tmp_path / "ck2")
+    train_main([
+        "--dataset", "synthetic", "--model", "unet_baseline",
+        "--experiment_name", "warmdst", *shape,
+        "--init_from_torch", pth,
+        "--epochs", "4", "--batch_size", "2", "--num_samples", "4",
+        "--compute_dtype", "float32", "--no_visualize",
+        "--ckpt_dir", ckpt2, "--log_dir", str(tmp_path / "lg2"),
+    ])
+    out = capsys.readouterr().out
+    assert "starting at epoch 4" in out  # saved epoch 3 + 1
+    exp2 = os.listdir(ckpt2)[0]
+    # exactly one new epoch trained and checkpointed
+    params, _, _, epoch = CheckpointManager(ckpt2, exp2).restore_eval()
+    assert epoch == 4
+
+    # conflicting resume flags fail loudly
+    with pytest.raises(SystemExit, match="init_from_torch"):
+        train_main([
+            "--dataset", "synthetic", "--model", "unet_baseline",
+            "--experiment_name", "warmbad", *shape,
+            "--init_from_torch", pth, "--resume",
+            "--epochs", "4", "--batch_size", "2", "--num_samples", "4",
+            "--compute_dtype", "float32", "--no_visualize",
+            "--ckpt_dir", str(tmp_path / "ck3"),
+            "--log_dir", str(tmp_path / "lg3"),
+        ])

@@ -127,3 +127,17 @@ def test_export_from_trained_checkpoint(tmp_path):
     flat_got = jax.tree_util.tree_leaves(back["params"])
     for a, b in zip(flat_want, flat_got):
         np.testing.assert_array_equal(np.asarray(a, np.float32), b)
+
+    # and the .pth itself exports straight to a StableHLO artifact
+    # (--torch_checkpoint): the one-command migration path from a reference
+    # training run to TPU serving
+    out2 = str(tmp_path / "from_torch.stablehlo")
+    export_main([
+        "--dataset", "batvisionv2", "--model", "unet_baseline",
+        "--generator", "unet_128", "--ngf", "4",
+        "--out", out2, "--torch_checkpoint", pth,
+    ])
+    reloaded2 = jexport.deserialize(bytearray(open(out2, "rb").read()))
+    got2 = reloaded2.call(back["params"], back.get("batch_stats"), wave)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(got),
+                               rtol=1e-4, atol=5e-5)
