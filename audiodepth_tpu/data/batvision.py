@@ -56,6 +56,36 @@ def load_wav(path: str):
     return data, sr
 
 
+_IMAGE_POOL = None
+
+
+def _image_pool():
+    """Shared thread pool for camera-image decode (cv2 releases the GIL
+    during imread/resize, so threads give real host parallelism — the
+    analogue of the reference's DataLoader(num_workers=4), train.py:335,
+    for the two families that read images)."""
+    global _IMAGE_POOL
+    if _IMAGE_POOL is None:
+        import concurrent.futures
+
+        _IMAGE_POOL = concurrent.futures.ThreadPoolExecutor(
+            max_workers=int(os.environ.get("ADEPTH_IMAGE_THREADS", "8")))
+    return _IMAGE_POOL
+
+
+def _decode_image_u8(path: str, size: int) -> np.ndarray:
+    """cv2 decode → RGB → resize, kept in uint8 (the codec transport dtype;
+    BatvisionV2_Dataset.py:199-210 semantics — resize runs on uint8 there
+    too, /255 happens on device in data/codec.py)."""
+    import cv2
+
+    img = cv2.imread(path)
+    if img is None:
+        raise IOError(f"could not load image {path}")
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    return cv2.resize(img, (size, size))
+
+
 def _fix_length(wave_arr: np.ndarray, length: int) -> np.ndarray:
     c, l = wave_arr.shape
     if l >= length:
@@ -68,7 +98,10 @@ def _fix_length(wave_arr: np.ndarray, length: int) -> np.ndarray:
 def _load_depth(path: str, size: int, max_depth: float, scrub_nan: bool) -> np.ndarray:
     depth = np.load(path).astype(np.float32)
     if scrub_nan:
-        depth = np.nan_to_num(depth, posinf=0.0, neginf=0.0)
+        # np.nan_to_num defaults (BatvisionV1_Dataset.py:50-52): NaN→0,
+        # +inf→FLT_MAX (the later clip maps it to max_depth), -inf→-FLT_MAX
+        # (the later negative-floor maps it to 0).
+        depth = np.nan_to_num(depth)
     depth = depth / 1000.0
     if max_depth:
         depth[depth > max_depth] = max_depth
@@ -156,11 +189,13 @@ class BatvisionV2Dataset:
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
                 drop_last: bool = True, native: bool = True
                 ) -> Iterator[Dict[str, np.ndarray]]:
-        """Batch iterator. With native=True (and the toolchain available,
-        audio mode only) decoding runs in the C++ thread pool
-        (native/adepth_io.cpp) and batches come out directly in the compact
-        transport dtypes (int16 waveform / uint16 depth)."""
-        if native and not self.use_image:
+        """Batch iterator. With native=True (and the toolchain available)
+        wav+depth decoding runs in the C++ thread pool (native/adepth_io.cpp)
+        and batches come out directly in the compact transport dtypes (int16
+        waveform / uint16 depth / uint8 image). Camera images decode
+        concurrently in a cv2 thread pool (the GIL is released both there
+        and inside the native call, so the two pools overlap)."""
+        if native:
             from . import native_io
 
             if native_io.available():
@@ -172,6 +207,8 @@ class BatvisionV2Dataset:
         from . import native_io
 
         ds = self.cfg.dataset
+        size = ds.images_size
+        want_audio = not self.use_image or self.use_image == "both"
         n = len(self.instances)
         order = np.arange(n)
         if shuffle:
@@ -180,20 +217,35 @@ class BatvisionV2Dataset:
         for i in range(0, max(end, 0), batch_size):
             idx = order[i : i + batch_size]
             rows = self.instances.iloc[idx]
+            futs = None
+            if self.use_image:
+                pool = _image_pool()
+                futs = [
+                    pool.submit(
+                        _decode_image_u8,
+                        os.path.join(self.root, r["camera path"],
+                                     r["camera file name"]), size)
+                    for _, r in rows.iterrows()
+                ]
             wavs = [
                 os.path.join(self.root, r["audio path"], r["audio file name"])
                 for _, r in rows.iterrows()
-            ]
+            ] if want_audio else None
             depths = [
                 os.path.join(self.root, r["depth path"], r["depth file name"])
                 for _, r in rows.iterrows()
             ]
             wav, depth = native_io.assemble_batch(
                 wavs, depths, fixed_len=self.wave_len,
-                out_hw=(ds.images_size, ds.images_size),
+                out_hw=(size, size),
                 max_depth=ds.max_depth, depth_norm=bool(ds.depth_norm),
             )
-            yield {"waveform": wav, "depth": depth}
+            out = {"depth": depth}
+            if wav is not None:
+                out["waveform"] = wav
+            if futs is not None:
+                out["image"] = np.stack([f.result() for f in futs])
+            yield out
 
 
 class BatvisionV1Dataset:

@@ -19,9 +19,27 @@ from typing import Dict, Iterator, Optional, Sequence
 import numpy as np
 
 from ..configs import Config
-from .batvision import _batch_iter, _fix_length, _load_depth, load_wav
+from ..ops.resize import resize_bilinear_np
+from .batvision import _batch_iter, _fix_length, load_wav
 from .bins import compute_bin_edges, depth_to_bins_np
 from .frontend import tof_cut_samples
+
+
+def _load_sparse_depth(path: str, size: int, max_depth: float) -> np.ndarray:
+    """mm→m, clip, BILINEAR-antialias resize (torchvision Resize semantics).
+
+    Unlike the BV1/BV2 ground-truth path (cv2 INTER_NEAREST), the reference
+    resizes sparse targets through get_transform(convert=True) → torchvision
+    transforms.Resize (SparseDepth_Dataset.py:129-133), i.e. antialiased
+    bilinear. NaN→0 / ±inf→clip-range first (defensive; the reference leaves
+    them, which would poison training)."""
+    depth = np.load(path).astype(np.float32)
+    depth = np.nan_to_num(depth)
+    depth = depth / 1000.0
+    if max_depth:
+        depth[depth > max_depth] = max_depth
+    depth[depth < 0] = 0.0
+    return resize_bilinear_np(depth, size, size)
 
 
 class SparseDepthDataset:
@@ -77,14 +95,14 @@ class SparseDepthDataset:
         sparse_path = os.path.join(
             self.root, row["location"], self.folder, row["depth file name"]
         )
-        sparse = _load_depth(sparse_path, ds.images_size, ds.max_depth, scrub_nan=True)
+        sparse = _load_sparse_depth(sparse_path, ds.images_size, ds.max_depth)
         if ds.depth_norm:
             sparse = sparse / ds.max_depth
         out = {"depth": sparse[..., None]}
         if self.use_original_depth:
-            orig = _load_depth(
+            orig = _load_sparse_depth(
                 os.path.join(self.root, row["depth path"], row["depth file name"]),
-                ds.images_size, ds.max_depth, scrub_nan=True,
+                ds.images_size, ds.max_depth,
             )
             if ds.depth_norm:
                 orig = orig / ds.max_depth

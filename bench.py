@@ -138,6 +138,56 @@ def bench_native_decode(tmpdir, n_samples=64, batch_size=64):
     return n_batches * batch_size / dt
 
 
+def _cache_entries():
+    """Entry count in the persistent XLA compile cache (None if disabled)."""
+    d = None
+    try:
+        d = jax.config.jax_compilation_cache_dir
+    except Exception:
+        pass
+    if not d or not os.path.isdir(d):
+        return None
+    return len([f for f in os.listdir(d) if f.endswith("-cache")])
+
+
+class _CompileCacheProbe:
+    """Hit/miss accounting for one compile window (VERDICT r3 weak #2).
+
+    The persistent cache gives no direct counters here, but the observable
+    contract is simple: a MISS writes a new `*-cache` entry, a HIT doesn't.
+    Pair that with the elapsed seconds and the stage log shows exactly
+    whether the 10-minute warmup is real compilation or should have been
+    seconds of cache load.
+    """
+
+    def __init__(self):
+        self.records = {}
+
+    def window(self, label):
+        probe = self
+
+        class _W:
+            def __enter__(self):
+                self.before = _cache_entries()
+                self.t0 = time.perf_counter()
+                return self
+
+            def __exit__(self, *exc):
+                dt = time.perf_counter() - self.t0
+                after = _cache_entries()
+                rec = {"seconds": round(dt, 1)}
+                if self.before is not None:
+                    rec["new_cache_entries"] = after - self.before
+                    rec["hit"] = (after == self.before)
+                probe.records[label] = rec
+                import sys
+
+                print(f"# compile-cache [{label}]: {rec}", file=sys.stderr,
+                      flush=True)
+
+        return _W()
+
+
 def _stage(label, _t0=[None]):
     """Progress/timing line to stderr — lets a driver log show where a slow
     run is spending its wall clock (the tunnel link can stretch any stage)."""
@@ -173,9 +223,11 @@ def main():
     from audiodepth_tpu.data.prefetch import device_prefetch
 
     _stage("dataset+config")
+    probe = _CompileCacheProbe()
     task = make_task(cfg)
     eng = Engine(cfg, task)
-    state = eng.init_state(jax.random.PRNGKey(0), batch)
+    with probe.window("init_state"):
+        state = eng.init_state(jax.random.PRNGKey(0), batch)
     _stage("init_state")
 
     depth_units = 1.0 if cfg.dataset.depth_norm else float(cfg.dataset.max_depth)
@@ -183,9 +235,10 @@ def main():
     # warmup with COMPACT dtypes — the timed loop streams the compact
     # transport form, and a dtype change would recompile inside the timing
     warm = encode_batch(batch, depth_units)
-    for _ in range(3):
-        state, m = eng.train_step(state, warm)
-    _ = float(m["loss"])
+    with probe.window("unet_train_step"):
+        for _ in range(3):
+            state, m = eng.train_step(state, warm)
+        _ = float(m["loss"])
     _stage("train-step warmup/compile")
 
     # realistic loop: streamed batches each step, compact transport codec,
@@ -317,13 +370,15 @@ def main():
         bbatch = encode_batch(braw, depth_units)
         btask = make_task(bcfg)
         beng = Engine(bcfg, btask)
-        bstate = beng.init_state(jax.random.PRNGKey(0), braw)
+        with probe.window("binaural_init_state"):
+            bstate = beng.init_state(jax.random.PRNGKey(0), braw)
         # device-resident batch: measure the compute path, not the remote
         # host tunnel (real training overlaps transfers via prefetch /
         # uses the device cache — see RESULTS.md sustained run)
         bbatch = beng.put_batch(bbatch)
-        bstate, bm = beng.train_step(bstate, bbatch)
-        _ = float(bm["loss"])
+        with probe.window("binaural_train_step"):
+            bstate, bm = beng.train_step(bstate, bbatch)
+            _ = float(bm["loss"])
         t0 = time.perf_counter()
         bn = 5
         for _ in range(bn):
@@ -376,6 +431,8 @@ def main():
                 "n_steps": n_steps,
                 "chips": n_chips,
                 "device_kind": jax.devices()[0].device_kind,
+                "compile_cache": probe.records,
+                "compile_cache_dir_entries": _cache_entries(),
             },
             f,
         )

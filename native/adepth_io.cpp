@@ -65,9 +65,28 @@ uint16_t rd_u16(const uint8_t* p) {
 extern "C" {
 
 // ---------------------------------------------------------------------------
-// WAV: PCM16 → int16 [channels, n_samples] (deinterleaved), cut/zero-padded
-// to fixed_len per channel. Returns 0 on success.
+// WAV → int16 [channels, n_samples] (deinterleaved), cut/zero-padded to
+// fixed_len per channel. Returns 0 on success.
+//
+// Formats (matching the reference's 4-backend decode-chain tolerance,
+// BatvisionV2_Dataset.py:142-175, reduced to the int16 transport form):
+//   PCM16            — exact copy
+//   PCM24 / PCM32    — rounded to the top 16 bits ((v + half) >> shift),
+//                      identical to round(float_sample * 32768) of the
+//                      normalized float the python chain produces
+//   IEEE float32     — clamp [-1, 1], round(f * 32768)
+//   WAVE_FORMAT_EXTENSIBLE — resolved via the SubFormat GUID's format code
 // ---------------------------------------------------------------------------
+namespace {
+
+inline int16_t clamp_i16(long v) {
+    if (v > 32767) return 32767;
+    if (v < -32768) return -32768;
+    return static_cast<int16_t>(v);
+}
+
+}  // namespace
+
 int adepth_decode_wav_i16(const char* path, int16_t* out, int64_t fixed_len,
                           int32_t* out_channels, int32_t* out_sr) {
     FileBuf fb = read_file(path);
@@ -87,6 +106,10 @@ int adepth_decode_wav_i16(const char* path, int16_t* out, int64_t fixed_len,
             channels = rd_u16(p + off + 10);
             sr = static_cast<int>(rd_u32(p + off + 12));
             bits = rd_u16(p + off + 22);
+            // WAVE_FORMAT_EXTENSIBLE: the real format code is the first u16
+            // of the SubFormat GUID (fmt struct offset 24)
+            if (fmt == 0xFFFE && sz >= 40 && off + 8 + 26 <= fb.data.size())
+                fmt = rd_u16(p + off + 8 + 24);
         } else if (std::memcmp(p + off, "data", 4) == 0) {
             pcm = p + off + 8;
             pcm_bytes = sz;
@@ -95,14 +118,46 @@ int adepth_decode_wav_i16(const char* path, int16_t* out, int64_t fixed_len,
         }
         off += 8 + sz + (sz & 1);  // chunks are 2-byte aligned
     }
-    if (!pcm || fmt != 1 || bits != 16 || channels < 1) return 3;
+    if (!pcm || channels < 1) return 3;
+    const bool pcm16 = (fmt == 1 && bits == 16);
+    const bool pcm24 = (fmt == 1 && bits == 24);
+    const bool pcm32 = (fmt == 1 && bits == 32);
+    const bool f32 = (fmt == 3 && bits == 32);
+    if (!pcm16 && !pcm24 && !pcm32 && !f32) return 3;
+    const size_t bytes_per = static_cast<size_t>(bits) / 8;
 
-    int64_t n = static_cast<int64_t>(pcm_bytes / (2 * channels));
+    int64_t n = static_cast<int64_t>(pcm_bytes / (bytes_per * channels));
     int64_t m = n < fixed_len ? n : fixed_len;
-    const int16_t* s = reinterpret_cast<const int16_t*>(pcm);
     for (int c = 0; c < channels; ++c) {
         int16_t* dst = out + static_cast<int64_t>(c) * fixed_len;
-        for (int64_t i = 0; i < m; ++i) dst[i] = s[i * channels + c];
+        if (pcm16) {
+            const int16_t* s = reinterpret_cast<const int16_t*>(pcm);
+            for (int64_t i = 0; i < m; ++i) dst[i] = s[i * channels + c];
+        } else if (pcm24) {
+            for (int64_t i = 0; i < m; ++i) {
+                const uint8_t* b = pcm + (i * channels + c) * 3;
+                long v = static_cast<long>(
+                    (static_cast<int32_t>(static_cast<int8_t>(b[2])) << 16) |
+                    (b[1] << 8) | b[0]);
+                dst[i] = clamp_i16((v + 128) >> 8);
+            }
+        } else if (pcm32) {
+            const int32_t* s = reinterpret_cast<const int32_t*>(pcm);
+            for (int64_t i = 0; i < m; ++i) {
+                long v = static_cast<long>(s[i * channels + c]);
+                dst[i] = clamp_i16((v + 32768) >> 16);
+            }
+        } else {  // IEEE float32
+            const float* s = reinterpret_cast<const float*>(pcm);
+            for (int64_t i = 0; i < m; ++i) {
+                float v = s[i * channels + c];
+                if (!std::isfinite(v)) v = 0.0f;
+                if (v > 1.0f) v = 1.0f;
+                if (v < -1.0f) v = -1.0f;
+                dst[i] = clamp_i16(
+                    static_cast<long>(std::nearbyint(v * 32768.0f)));
+            }
+        }
         for (int64_t i = m; i < fixed_len; ++i) dst[i] = 0;
     }
     *out_channels = channels;

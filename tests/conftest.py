@@ -20,3 +20,37 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+
+# ---------------------------------------------------------------------------
+# Marker groups (CLAUDE.md "Test suite groups"): the full suite outgrew any
+# 10-minute command window on this 1-CPU host, so every module is auto-marked
+# into one of four groups, each runnable standalone via `-m <group>`.
+# ---------------------------------------------------------------------------
+_QUICK = {
+    "test_config", "test_losses", "test_metrics", "test_frontend",
+    "test_attention", "test_codec_prefetch", "test_batvision_data",
+    "test_sparse_dataset", "test_tools", "test_native_io",
+}
+_PARITY = {
+    "test_grad_parity", "test_trajectory_parity", "test_optim",
+    "test_torch_interop", "test_data_pipeline_parity",
+}
+_DIST = {
+    "test_sharding", "test_sharded_stft", "test_multihost",
+    "test_ckpt_topology",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _QUICK:
+            item.add_marker(pytest.mark.quick)
+        elif mod in _PARITY:
+            item.add_marker(pytest.mark.parity)
+        elif mod in _DIST:
+            item.add_marker(pytest.mark.dist)
+        else:
+            item.add_marker(pytest.mark.models)

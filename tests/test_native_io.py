@@ -27,6 +27,71 @@ def test_wav_decode_matches_python(tmp_path):
     assert (nat[:, 5000:] == 0).all()
 
 
+def _write_wav_fmt(path, data, fmt):
+    """Raw RIFF writer for format-coverage fixtures.
+
+    fmt: pcm16 | pcm24 | pcm32 | f32 | ext_pcm16 (WAVE_FORMAT_EXTENSIBLE).
+    data: float32 [C, L] in [-1, 1].
+    """
+    import struct
+
+    ch, n = data.shape
+    inter = np.ascontiguousarray(data.T)  # [L, C]
+    if fmt == "pcm16":
+        tag, bits = 1, 16
+        body = (np.clip(inter, -1, 1) * 32767).astype("<i2").tobytes()
+    elif fmt == "pcm24":
+        tag, bits = 1, 24
+        v = (np.clip(inter, -1, 1) * 8388607).astype(np.int64)
+        body = b"".join(int(x).to_bytes(3, "little", signed=True)
+                        for x in v.ravel())
+    elif fmt == "pcm32":
+        tag, bits = 1, 32
+        body = (np.clip(inter, -1, 1) * 2147483392).astype("<i4").tobytes()
+    elif fmt == "f32":
+        tag, bits = 3, 32
+        body = inter.astype("<f4").tobytes()
+    elif fmt == "ext_pcm16":
+        tag, bits = None, 16  # handled below
+        body = (np.clip(inter, -1, 1) * 32767).astype("<i2").tobytes()
+    else:
+        raise ValueError(fmt)
+    sr = 44100
+    block = ch * bits // 8
+    if fmt == "ext_pcm16":
+        # KSDATAFORMAT_SUBTYPE_PCM: 00000001-0000-0010-8000-00aa00389b71
+        sub = bytes.fromhex("01000000" "0000" "1000" "800000aa00389b71")
+        fmt_chunk = struct.pack("<HHIIHHHHI", 0xFFFE, ch, sr, sr * block,
+                                block, bits, 22, bits, 0x3) + sub
+    else:
+        fmt_chunk = struct.pack("<HHIIHH", tag, ch, sr, sr * block, block, bits)
+    blob = (b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+            + b"data" + struct.pack("<I", len(body)) + body)
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + len(blob)) + b"WAVE" + blob)
+
+
+@pytest.mark.parametrize("fmt", ["pcm16", "pcm24", "pcm32", "f32", "ext_pcm16"])
+def test_wav_format_coverage(tmp_path, fmt):
+    """PCM16/24/32, IEEE float, and EXTENSIBLE WAVs all decode to the same
+    int16 transport form as the python scipy chain (VERDICT r3 Next #7;
+    matches the reference's 4-backend decode tolerance,
+    BatvisionV2_Dataset.py:142-175)."""
+    rng = np.random.default_rng(fmt.__hash__() % 2**31)
+    data = rng.uniform(-0.9, 0.9, size=(2, 3000)).astype(np.float32)
+    p = tmp_path / f"x_{fmt}.wav"
+    _write_wav_fmt(p, data, fmt)
+    py_f, sr = load_wav(str(p))
+    assert sr == 44100
+    py_i16 = encode_batch({"waveform": py_f[None]}, 30.0)["waveform"][0]
+    nat = native_io.decode_wav_i16(str(p), 3000)
+    # exact for pcm16/ext/f32; ±1 LSB for 24/32-bit (banker's vs half-up
+    # rounding at exact .5 boundaries)
+    atol = 1 if fmt in ("pcm24", "pcm32") else 0
+    np.testing.assert_allclose(nat.astype(np.int32),
+                               py_i16.astype(np.int32), atol=atol, rtol=0)
+
+
 def test_wav_decode_cuts(tmp_path):
     rng = np.random.default_rng(1)
     data = rng.uniform(-0.5, 0.5, size=(2, 5000)).astype(np.float32)
@@ -119,6 +184,53 @@ def test_bv2_native_batches_match_python(tmp_path):
     py_enc = encode_batch(py, 30.0)
     np.testing.assert_array_equal(nat["waveform"], py_enc["waveform"])
     np.testing.assert_array_equal(nat["depth"], py_enc["depth"])
+
+
+def test_bv2_native_batches_image_modes(tmp_path):
+    """Image and paired ('both') modes stream through the native path too:
+    C++ pool for wav+depth, concurrent cv2 pool for camera images — the
+    parallel-decode coverage the reference gets from DataLoader workers
+    (train.py:335; VERDICT r3 Next #4)."""
+    import cv2
+
+    from audiodepth_tpu.configs import load_config
+    from audiodepth_tpu.data.batvision import BatvisionV2Dataset
+
+    rng = np.random.default_rng(5)
+    d = tmp_path / "Hall"
+    for sub in ("audio", "depth", "cam"):
+        (d / sub).mkdir(parents=True)
+    rows = []
+    for i in range(4):
+        np.save(d / "depth" / f"d{i}.npy",
+                rng.uniform(0, 40000, size=(48, 64)).astype(np.float32))
+        write_wav(d / "audio" / f"a{i}.wav",
+                  rng.uniform(-0.5, 0.5, size=(2, 9000)).astype(np.float32))
+        cv2.imwrite(str(d / "cam" / f"c{i}.png"),
+                    rng.integers(0, 255, size=(48, 64, 3)).astype(np.uint8))
+        rows.append(f"Hall/audio,a{i}.wav,Hall/depth,d{i}.npy,Hall/cam,c{i}.png")
+    (d / "train.csv").write_text(
+        "audio path,audio file name,depth path,depth file name,"
+        "camera path,camera file name\n" + "\n".join(rows) + "\n")
+
+    cfg = load_config("batvisionv2", overrides={
+        "dataset.dataset_dir": str(tmp_path), "dataset.images_size": 64,
+    })
+    # paired mode: audio + image + depth
+    ds = BatvisionV2Dataset(cfg, "train.csv", use_image="both")
+    nat = next(ds.batches(4, shuffle=False, native=True))
+    py = encode_batch(dict(next(ds.batches(4, shuffle=False, native=False))), 30.0)
+    assert nat["image"].dtype == np.uint8 and nat["image"].shape == (4, 64, 64, 3)
+    np.testing.assert_array_equal(nat["image"], py["image"])
+    np.testing.assert_array_equal(nat["waveform"], py["waveform"])
+    np.testing.assert_array_equal(nat["depth"], py["depth"])
+
+    # image-only mode: no waveform key
+    ds_img = BatvisionV2Dataset(cfg, "train.csv", use_image=True)
+    nat_img = next(ds_img.batches(4, shuffle=False, native=True))
+    assert "waveform" not in nat_img
+    np.testing.assert_array_equal(nat_img["image"], nat["image"])
+    np.testing.assert_array_equal(nat_img["depth"], nat["depth"])
 
 
 def test_corrupt_cached_so_recovers(tmp_path, monkeypatch):
