@@ -40,7 +40,8 @@ def make_schedule(mode: ModeConfig, steps_per_epoch: int) -> optax.Schedule:
         }
         return optax.piecewise_constant_schedule(lr, boundaries)
     if kind == "warm_restarts":
-        # CosineAnnealingWarmRestarts(T_0=20 epochs, T_mult=2)
+        # CosineAnnealingWarmRestarts(T_0=20 epochs, T_mult=2, eta_min=1e-6)
+        # — the coarse driver's exact settings (train_coarse_depth.py:363-365)
         periods = []
         t = 20 * steps_per_epoch
         covered = 0
@@ -49,7 +50,8 @@ def make_schedule(mode: ModeConfig, steps_per_epoch: int) -> optax.Schedule:
             covered += t
             t *= 2
         return optax.sgdr_schedule(
-            [dict(init_value=lr, peak_value=lr, decay_steps=p, warmup_steps=0, end_value=0.0)
+            [dict(init_value=lr, peak_value=lr, decay_steps=p,
+                  warmup_steps=0, end_value=1e-6)
              for p in periods]
         )
     raise ValueError(f"unknown lr_schedule {kind!r}")

@@ -109,7 +109,7 @@ def _torch_lr_sequence(make_sched, epochs, lr):
              opt, step_size=50, gamma=0.5)),
         ("warm_restarts",
          lambda opt: torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
-             opt, T_0=20, T_mult=2)),
+             opt, T_0=20, T_mult=2, eta_min=1e-6)),
     ],
 )
 def test_schedule_matches_torch_exactly(kind, make_sched):
