@@ -64,6 +64,44 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
+def shard_global_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Shard a batch every host holds IN FULL onto the data axis.
+
+    The multi-process convention for meshes whose non-data axes cross
+    process boundaries (e.g. a (2,2) 'data'×'model' mesh over 4 single-chip
+    hosts): contiguous per-process row slices no longer tile the data axis
+    — the devices holding a given row group belong to several processes.
+    Here every host materializes the identical global batch and
+    make_array_from_callback hands each device exactly its slice, correct
+    for ANY mesh layout.
+    """
+    sh = batch_sharding(mesh, axis)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def model_axes_cross_processes(mesh: Mesh, data_axis: str = "data") -> bool:
+    """True if stepping along any non-data mesh axis changes the owning
+    process — the condition under which per-process contiguous batch
+    slices stop tiling the data axis (see shard_global_batch)."""
+    if jax.process_count() <= 1:
+        return False
+    devs = mesh.devices
+    for i, name in enumerate(mesh.axis_names):
+        if name == data_axis or devs.shape[i] == 1:
+            continue
+        first = np.take(devs, 0, axis=i).ravel()
+        second = np.take(devs, 1, axis=i).ravel()
+        if any(a.process_index != b.process_index
+               for a, b in zip(first, second)):
+            return True
+    return False
+
+
 def pad_batch_to(batch: Any, target_rows: int) -> Any:
     """Pad every array's leading dim to target_rows; add a _valid row mask.
 

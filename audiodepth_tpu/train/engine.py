@@ -20,7 +20,13 @@ import numpy as np
 from flax import struct
 
 from ..configs import Config
-from ..parallel.mesh import pad_batch_to, replicate, shard_batch
+from ..parallel.mesh import (
+    model_axes_cross_processes,
+    pad_batch_to,
+    replicate,
+    shard_batch,
+    shard_global_batch,
+)
 from .optim import make_optimizer
 from .tasks import Task
 
@@ -200,14 +206,26 @@ class Engine:
         if all(isinstance(v, jax.Array) for v in batch.values()):
             return batch
         if self.mesh is not None:
-            # ONE batch convention: the incoming dict always holds this
-            # host's LOCAL rows of the global batch (single-process: the
-            # whole batch). Ragged eval tails are padded to a shardable
-            # size with a _valid row mask instead of replicated — the
-            # round-2 dual convention (shard-or-replicate by divisibility)
-            # was ambiguous and host-divergent for multi-process tails.
             axis_size = self.mesh.shape[self.cfg.mode.data_axis]
             local_b = next(iter(batch.values())).shape[0]
+            if model_axes_cross_processes(self.mesh, self.cfg.mode.data_axis):
+                # GLOBAL-batch convention: when a >1 model/sp axis spans
+                # process boundaries (e.g. a (2,2) 'data'×'model' mesh over
+                # 4 single-chip hosts), per-process contiguous row slices
+                # no longer tile the data axis — every host must pass the
+                # IDENTICAL global batch; each device reads its own slice.
+                if local_b % axis_size != 0:
+                    batch = pad_batch_to(
+                        batch, -(-local_b // axis_size) * axis_size)
+                return shard_global_batch(
+                    batch, self.mesh, self.cfg.mode.data_axis)
+            # Otherwise the ONE batch convention: the incoming dict always
+            # holds this host's LOCAL rows of the global batch
+            # (single-process: the whole batch). Ragged eval tails are
+            # padded to a shardable size with a _valid row mask instead of
+            # replicated — the round-2 dual convention (shard-or-replicate
+            # by divisibility) was ambiguous and host-divergent for
+            # multi-process tails.
             if (local_b * jax.process_count()) % axis_size != 0:
                 if jax.process_count() > 1:
                     raise ValueError(

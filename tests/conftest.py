@@ -38,9 +38,9 @@ _PARITY = {
     "test_torch_interop", "test_data_pipeline_parity",
 }
 _DIST = {
-    "test_sharding", "test_sharded_stft", "test_multihost",
-    "test_ckpt_topology",
+    "test_sharding", "test_sharded_stft", "test_ckpt_topology",
 }
+_CLUSTER = {"test_multihost"}  # real multi-process clusters: heaviest group
 
 
 def pytest_collection_modifyitems(config, items):
@@ -52,5 +52,7 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.parity)
         elif mod in _DIST:
             item.add_marker(pytest.mark.dist)
+        elif mod in _CLUSTER:
+            item.add_marker(pytest.mark.cluster)
         else:
             item.add_marker(pytest.mark.models)

@@ -14,6 +14,7 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 WORKER = os.path.join(HERE, "multihost_worker.py")
+QUAD_WORKER = os.path.join(HERE, "multihost_quad_worker.py")
 
 
 def _free_port() -> int:
@@ -58,3 +59,39 @@ def test_two_process_ddp_grad():
     # padded+masked tail is read identically everywhere (each worker also
     # checked the values against a mesh-free reference evaluation)
     assert ragged[0] == ragged[1], ragged
+
+
+def test_four_process_dpxsp_preempt_holdout(tmp_path):
+    """4 single-chip processes (VERDICT r3 Next #5): a (2,2) 'data'×'model'
+    mesh with BOTH axes crossing process boundaries (global-batch
+    convention), plus a pure-DP fit with ragged masked validation, a
+    holdout loader, a mid-run SIGTERM preemption checkpoint written
+    collectively by all four hosts, and a fresh-manager restore + resume.
+    Every per-host printed metric must be identical across the cluster."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, QUAD_WORKER, str(p), "4", str(port),
+             str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for p in range(4)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=1800)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    markers = []
+    for p, (proc, out) in enumerate(zip(procs, outs)):
+        assert proc.returncode == 0, f"proc {p} failed:\n{out[-4000:]}"
+        assert f"proc {p}: ok" in out, out[-2000:]
+        markers.append(out.split(f"proc {p}: ok ")[1].strip())
+    assert len(set(markers)) == 1, markers
