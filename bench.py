@@ -138,6 +138,58 @@ def bench_native_decode(tmpdir, n_samples=64, batch_size=64):
     return n_batches * batch_size / dt
 
 
+def bench_paired_image_decode(tmpdir, n_samples=64, batch_size=64):
+    """Paired (audio+image+depth) host decode throughput — the rgb_depth/
+    adabins streaming pipeline (VERDICT r3 Next #4): C++ pool for wav+depth
+    overlapped with the cv2 thread pool for camera PNGs, through the real
+    BatvisionV2Dataset native batch path."""
+    import cv2
+    import numpy as np
+
+    from audiodepth_tpu.configs import load_config
+    from audiodepth_tpu.data import native_io
+    from audiodepth_tpu.data.batvision import BatvisionV2Dataset
+
+    if not native_io.available():
+        return None
+    rng = np.random.default_rng(1)
+    d = os.path.join(tmpdir, "Hall")
+    for sub in ("audio", "depth", "cam"):
+        os.makedirs(os.path.join(d, sub), exist_ok=True)
+    import struct
+
+    rows = []
+    for i in range(n_samples):
+        w = (rng.standard_normal((7782, 2)) * 0.1).astype(np.float32)
+        pcm = (np.clip(w, -1, 1) * 32767).astype("<i2").tobytes()
+        hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt "
+               + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 44100 * 4, 4, 16)
+               + b"data" + struct.pack("<I", len(pcm)))
+        with open(os.path.join(d, "audio", f"a{i}.wav"), "wb") as f:
+            f.write(hdr + pcm)
+        np.save(os.path.join(d, "depth", f"d{i}.npy"),
+                rng.uniform(0, 30000, (480, 640)).astype(np.float32))
+        cv2.imwrite(os.path.join(d, "cam", f"c{i}.png"),
+                    rng.integers(0, 255, (480, 640, 3)).astype(np.uint8))
+        rows.append(f"Hall/audio,a{i}.wav,Hall/depth,d{i}.npy,"
+                    f"Hall/cam,c{i}.png")
+    with open(os.path.join(d, "train.csv"), "w") as f:
+        f.write("audio path,audio file name,depth path,depth file name,"
+                "camera path,camera file name\n" + "\n".join(rows) + "\n")
+    cfg = load_config("batvisionv2", overrides={
+        "dataset.dataset_dir": tmpdir, "dataset.images_size": 256,
+    })
+    ds = BatvisionV2Dataset(cfg, "train.csv", use_image="both")
+    # warm (page cache + pools + first batch)
+    next(ds.batches(batch_size, shuffle=False, native=True))
+    t0 = time.perf_counter()
+    n_batches = 4
+    for _ in range(n_batches):
+        next(ds.batches(batch_size, shuffle=False, native=True))
+    dt = time.perf_counter() - t0
+    return n_batches * batch_size / dt
+
+
 def _cache_entries():
     """Entry count in the persistent XLA compile cache (None if disabled)."""
     d = None
@@ -226,18 +278,26 @@ def main():
     probe = _CompileCacheProbe()
     task = make_task(cfg)
     eng = Engine(cfg, task)
-    with probe.window("init_state"):
-        state = eng.init_state(jax.random.PRNGKey(0), batch)
-    _stage("init_state")
-
     depth_units = 1.0 if cfg.dataset.depth_norm else float(cfg.dataset.max_depth)
+
+    # Move the warmup bytes over the tunnel ONCE, in compact form (41 MB vs
+    # 3×41 + 83 MB fp32): the tunnel link — not XLA compile (cached) — is
+    # the measured warmup bottleneck (RESULTS.md round-4 forensics). The
+    # fp32 init batch is decoded from the compact form on device.
+    warm = encode_batch(batch, depth_units)
+    warm_dev = eng.put_batch(warm)  # one 41 MB upload, device-resident
+    from audiodepth_tpu.data.codec import decode_batch
+
+    init_batch_dev = jax.jit(lambda b: decode_batch(b, depth_units))(warm_dev)
+    with probe.window("init_state"):
+        state = eng.init_state(jax.random.PRNGKey(0), init_batch_dev)
+    _stage("init_state")
 
     # warmup with COMPACT dtypes — the timed loop streams the compact
     # transport form, and a dtype change would recompile inside the timing
-    warm = encode_batch(batch, depth_units)
     with probe.window("unet_train_step"):
         for _ in range(3):
-            state, m = eng.train_step(state, warm)
+            state, m = eng.train_step(state, warm_dev)
         _ = float(m["loss"])
     _stage("train-step warmup/compile")
 
@@ -367,15 +427,16 @@ def main():
         )
         bds = SyntheticEchoDataset(bcfg, num_samples=bin_bs, seed=0)
         braw = next(bds.batches(bin_bs, shuffle=False))
-        bbatch = encode_batch(braw, depth_units)
         btask = make_task(bcfg)
         beng = Engine(bcfg, btask)
-        with probe.window("binaural_init_state"):
-            bstate = beng.init_state(jax.random.PRNGKey(0), braw)
         # device-resident batch: measure the compute path, not the remote
         # host tunnel (real training overlaps transfers via prefetch /
-        # uses the device cache — see RESULTS.md sustained run)
-        bbatch = beng.put_batch(bbatch)
+        # uses the device cache — see RESULTS.md sustained run). One
+        # compact upload feeds init (decoded on device) and the loop.
+        bbatch = beng.put_batch(encode_batch(braw, depth_units))
+        binit = jax.jit(lambda b: decode_batch(b, depth_units))(bbatch)
+        with probe.window("binaural_init_state"):
+            bstate = beng.init_state(jax.random.PRNGKey(0), binit)
         with probe.window("binaural_train_step"):
             bstate, bm = beng.train_step(bstate, bbatch)
             _ = float(bm["loss"])
@@ -400,9 +461,12 @@ def main():
     import tempfile
 
     native_pairs = None
+    paired_pairs = None
     try:
         with tempfile.TemporaryDirectory() as td:
             native_pairs = bench_native_decode(td)
+        with tempfile.TemporaryDirectory() as td:
+            paired_pairs = bench_paired_image_decode(td)
     except Exception as e:  # pragma: no cover
         print(f"# native decode bench skipped: {e}")
 
@@ -420,6 +484,9 @@ def main():
                 "binaural_flops_per_step": bin_flops,
                 "native_decode_pairs_per_sec": (
                     round(native_pairs, 2) if native_pairs else None
+                ),
+                "paired_image_decode_pairs_per_sec": (
+                    round(paired_pairs, 2) if paired_pairs else None
                 ),
                 "streamed_over_host_link_pairs_per_sec": round(streamed, 2),
                 "dataset_cache_bytes": cache_nbytes,
