@@ -31,7 +31,7 @@ import pytest
 _QUICK = {
     "test_config", "test_losses", "test_metrics", "test_frontend",
     "test_attention", "test_codec_prefetch", "test_batvision_data",
-    "test_sparse_dataset", "test_tools", "test_native_io",
+    "test_sparse_dataset", "test_tools", "test_native_io", "test_serve",
 }
 _PARITY = {
     "test_grad_parity", "test_trajectory_parity", "test_optim",
