@@ -33,11 +33,16 @@ class CheckpointManager:
     def __init__(self, root: str, experiment_name: str, max_to_keep: int = 20):
         self.directory = os.path.abspath(os.path.join(root, experiment_name))
         os.makedirs(self.directory, exist_ok=True)
+        # item_handlers makes item_metadata() work on a FRESH manager (a
+        # different process restoring this directory) without absl warning
+        # spam ("Item 'default' ... could not be restored") — the handler
+        # registry is what lets orbax map the on-disk item to a type.
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True
             ),
+            item_handlers=ocp.StandardCheckpointHandler(),
         )
 
     def save(self, epoch: int, state: TrainState, aux: Optional[Dict[str, Any]] = None,
@@ -90,21 +95,10 @@ class CheckpointManager:
         if epoch is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
         # discover aux structure from on-disk metadata when not provided
+        # (works in a fresh process too — see item_handlers in __init__)
         if aux_template is None:
             meta = self._mgr.item_metadata(epoch)
             aux_meta = meta.tree.get("aux") if hasattr(meta, "tree") else None
-            if aux_meta is None and meta is None:
-                # fresh-process manager (no handler registry): item_metadata
-                # is None, so an aux-bearing checkpoint (coarse bins) would
-                # fail the templated restore with a tree mismatch — read the
-                # step's on-disk metadata directly instead
-                try:
-                    m = ocp.StandardCheckpointer().metadata(
-                        os.path.join(self.directory, str(epoch), "default"))
-                    tree = m.item_metadata.tree
-                    aux_meta = tree.get("aux") if tree else None
-                except Exception:
-                    aux_meta = None
             if aux_meta is not None:
                 aux_template = jax.tree_util.tree_map(
                     lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), aux_meta
@@ -133,9 +127,19 @@ class CheckpointManager:
             epoch = self._mgr.latest_step()
         if epoch is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
-        # template-free StandardRestore: structure comes from disk (a fresh
-        # manager in a different process has no item metadata to map)
-        restored = self._mgr.restore(epoch, args=ocp.args.StandardRestore())
+        # build the FULL template from on-disk metadata (ShapeDtypeStructs):
+        # a template-free StandardRestore would work but warns UNSAFE; the
+        # handler registry makes item_metadata available in any process
+        meta = self._mgr.item_metadata(epoch)
+        # eval/export tools are single-device consumers — pin the restore
+        # sharding explicitly (a bare ShapeDtypeStruct warns and re-reads
+        # the sharding file per leaf)
+        dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        template = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=dev),
+            meta.tree,
+        )
+        restored = self._mgr.restore(epoch, args=ocp.args.StandardRestore(template))
         state = restored["state"]
         aux = restored.get("aux")
         if aux is not None and set(aux) == set(_EMPTY_AUX):

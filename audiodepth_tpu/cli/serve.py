@@ -25,8 +25,10 @@ Protocol (kept dependency-free on both ends):
   GET  /stats     → JSON: served count, latency percentiles, queue depth.
 
 `--loadtest N` starts the server in-process, drives N concurrent requests
-through real HTTP, and prints a latency/throughput JSON line (the serving
-benchmark recorded in RESULTS.md).
+through real HTTP, and prints a latency/throughput JSON line. bench.py
+runs this loadtest on the real chip each round ("serve" stage) and folds
+the numbers into bench_details.json; the measured p50/p99/req-throughput
+live in RESULTS.md's serving section.
 """
 
 from __future__ import annotations

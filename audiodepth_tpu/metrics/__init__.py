@@ -1,3 +1,5 @@
-from .errors import METRIC_NAMES, compute_errors_np, compute_errors_batch
+from .errors import (EVAL_PRED_MIN, METRIC_NAMES, compute_errors_np,
+                     compute_errors_batch)
 
-__all__ = ["METRIC_NAMES", "compute_errors_np", "compute_errors_batch"]
+__all__ = ["EVAL_PRED_MIN", "METRIC_NAMES", "compute_errors_np",
+           "compute_errors_batch"]

@@ -24,6 +24,16 @@ import jax.numpy as jnp
 
 METRIC_NAMES = ("abs_rel", "rmse", "delta1", "delta2", "delta3", "log10", "mae")
 
+# Lower clip bound for predictions entering the jit eval path
+# (Task.eval_metrics). One f32 ulp ABOVE the 1e-3 meter epsilon: both twins
+# test `pred > eps` strictly, but the jnp twin compares in f32 while the np
+# twin promotes to f64 (where f32(1e-3) > 1e-3 holds) — clipping to exactly
+# 1e-3 would silently drop those pixels from the jnp twin only. One ulp up
+# puts every clipped pixel on the common branch of BOTH twins, which is the
+# regime where compute_errors_batch == compute_errors_np is exact
+# (machine-checked in tests/test_metrics.py's degenerate-input sweep).
+EVAL_PRED_MIN = float(np.nextafter(np.float32(1e-3), np.float32(np.inf)))
+
 
 def _nan_to_zero(x: float) -> float:
     if x != x or x == np.inf:

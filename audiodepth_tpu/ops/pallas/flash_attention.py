@@ -26,6 +26,23 @@ Requirements: N % block == 0 (true for every feature level here: HW ∈
 {256, 1024, 4096, 16384}); head dims zero-padded to the 128-lane boundary
 outside the kernels. Use `cross_attention()` which dispatches
 Pallas-on-TPU / XLA elsewhere.
+
+Performance floor — revisit triggers. The binaural family sits at MFU
+~0.43 (flat r03→r04) and the negative experiments recorded in RESULTS.md
+argue that is structural FOR THE CURRENT TOOLCHAIN, resting on two Mosaic
+assumptions: (1) the dk=16 contraction cannot occupy fewer than one
+128-lane MXU tile, so the s = q·kᵀ recompute pays an 8× lane pad that no
+blocking choice removes; (2) Mosaic serializes the per-grid-step
+matmul→softmax→matmul chain rather than software-pipelining the VPU
+softmax under the next MXU block. Reopen this kernel if either assumption
+breaks: a Mosaic release that overlaps VPU work with MXU issue across
+grid steps (watch: fwd block-1024 time dropping below ~100 ms at the
+level-2 shape without source changes), native sub-tile / packed-lane
+contraction support for dk<128, or a workload change that raises dk to
+≥64 (the pad waste then drops ≤2× and larger q-blocks win). Until one of
+those fires, further tuning here is not worth the turns — measured
+variants (asymmetric blocks, two-kernel splits) are all within noise of
+or worse than the current shape.
 """
 
 from __future__ import annotations

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..configs import Config
 from ..data.frontend import make_frontend
 from ..losses import make_criterion
-from ..metrics import compute_errors_batch
+from ..metrics import EVAL_PRED_MIN, compute_errors_batch
 from ..models.unet import build_unet
 
 
@@ -135,7 +135,12 @@ class Task:
         """Per-sample metric arrays (train.py:782-844 validation semantics)."""
         pred = self.predict_raw(params, batch_stats, batch)
         gt = batch["depth"]
-        pred_m = jnp.clip(self.pred_to_meters(pred), 1e-3, self.max_depth)
+        # EVAL_PRED_MIN (one f32 ulp above the 1e-3 eps) keeps every clipped
+        # pixel on the common branch of BOTH metric twins — the regime where
+        # compute_errors_batch exactly equals the parity-defining np twin
+        # (see metrics/errors.py; machine-checked in test_metrics.py)
+        pred_m = jnp.clip(self.pred_to_meters(pred), EVAL_PRED_MIN,
+                          self.max_depth)
         out = compute_errors_batch(self.to_meters(gt), pred_m, metric_scale=True)
         # eval loss: masked L1 in model units (test.py:240), computed PER
         # SAMPLE so the split mean is batch-size-independent with ragged
@@ -178,3 +183,22 @@ class UNetBaselineTask(Task):
         loss = self.criterion(self.pred_to_meters(pred), self.to_meters(gt), mask)
         aux = {"loss": loss}
         return loss, (new_stats, aux)
+
+    def eval_criterion_loss(self, params, batch_stats, batch, valid=None):
+        """The reference driver's per-batch validation LOSS: the training
+        criterion on the eval-mode forward, pooled valid pixels of the
+        whole batch, denormalized meters, mask gt > 0 (train.py:744-771).
+        Aggregated by Engine.evaluate as an equal-weight mean over batches
+        (np.mean(batch_loss_val), train.py:842) and logged as
+        val/criterion_loss. Pinned by tests/test_driver_parity.py.
+
+        `valid` is the ragged-tail row mask: pad rows REPEAT row 0 (so the
+        forward sees well-formed data, parallel/mesh.py::pad_batch_to) and
+        would otherwise leak fabricated pixels into the pooled criterion."""
+        pred = self.predict_raw(params, batch_stats, batch)
+        gt = batch["depth"]
+        mask = gt > 0
+        if valid is not None:
+            rows = valid.reshape((-1,) + (1,) * (gt.ndim - 1))
+            mask = mask & (rows > 0)
+        return self.criterion(self.pred_to_meters(pred), self.to_meters(gt), mask)

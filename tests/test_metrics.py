@@ -94,3 +94,79 @@ def test_batched_empty_sample_zeroes():
     out = compute_errors_batch(gt, pred)
     assert float(out["rmse"][0]) == 0.0
     assert float(out["rmse"][1]) > 0.0
+
+
+# ---------------------------------------------------------------------------
+# The eval-clip invariant (metrics/errors.py:10-16): compute_errors_batch
+# implements only the non-degenerate branch of the np twin and is valid
+# exactly when the prediction was pre-clipped to [eps, max_depth]. The clip
+# lives in ONE place — Task.eval_metrics (train/tasks.py:134-141) — and the
+# two tests below machine-check both halves of the contract: every family
+# routes through that one clipping implementation, and the clipped jnp path
+# lands exactly on the np twin even for degenerate raw predictions.
+# ---------------------------------------------------------------------------
+def test_every_registered_family_uses_the_clipping_eval_metrics():
+    """No task may override eval_metrics without re-establishing the clip;
+    this sweep fails the moment an override appears, forcing the author to
+    prove the precondition again."""
+    from audiodepth_tpu.train import tasks_extra
+    from audiodepth_tpu.train.tasks import Task, UNetBaselineTask
+
+    families = {"unet_baseline": UNetBaselineTask, **tasks_extra.REGISTRY}
+    assert set(families) == {
+        "unet_baseline", "unet_cvae", "base_residual", "binaural_attention",
+        "rgb_depth", "adabins_distillation", "coarse_depth",
+    }
+    for name, cls in families.items():
+        assert cls.eval_metrics is Task.eval_metrics, (
+            f"{name} overrides eval_metrics — it must clip pred to "
+            f"[EVAL_PRED_MIN, max_depth] before compute_errors_batch (the jnp twin's "
+            f"documented precondition) and update this sweep")
+
+
+@pytest.mark.parametrize("depth_norm", [False, True])
+def test_eval_metrics_degenerate_pred_matches_np_twin_after_clip(depth_norm):
+    """Degenerate raw predictions (negative, zero, sub-eps, > max_depth)
+    through the REAL eval path: Task.eval_metrics's clip must make the jnp
+    twin agree with the np twin evaluated on the same clipped prediction —
+    per sample, every metric."""
+    import jax.numpy as jnp
+
+    from audiodepth_tpu.train.tasks import Task
+
+    max_depth = 30.0
+    rng = np.random.RandomState(7)
+    gt_m = rng.uniform(0.5, max_depth, size=(4, 8, 8, 1)).astype(np.float32)
+    gt_m[rng.rand(*gt_m.shape) < 0.25] = 0.0  # invalid holes
+    # raw model-unit predictions spanning every degenerate regime
+    pred = rng.uniform(1.0, 10.0, size=(4, 8, 8, 1)).astype(np.float32)
+    pred[0] -= 20.0          # mostly negative
+    pred[1] *= 0.0           # exactly zero everywhere
+    pred[2] *= 1e-5          # positive but below the 1e-3 meter eps
+    pred[3] *= 1e4           # far above max_depth
+    if depth_norm:
+        gt = gt_m / max_depth  # datasets store normalized depth (BV1)
+    else:
+        gt = gt_m
+
+    class _StubTask(Task):
+        pred_is_normalized = depth_norm  # UNet-style head under depth_norm
+
+        def __init__(self):  # no model/config needed for the eval path
+            self.max_depth = max_depth
+            self.depth_norm = depth_norm
+
+        def predict_raw(self, params, batch_stats, batch):
+            return jnp.asarray(pred)
+
+    from audiodepth_tpu.metrics import EVAL_PRED_MIN
+
+    out = _StubTask().eval_metrics(None, None, {"depth": jnp.asarray(gt)})
+    clipped_m = np.clip(
+        pred * (max_depth if depth_norm else 1.0), EVAL_PRED_MIN, max_depth)
+    for i in range(4):
+        expected = compute_errors_np(gt_m[i], clipped_m[i])
+        for name, val in zip(METRIC_NAMES, expected):
+            np.testing.assert_allclose(
+                float(out[name][i]), val, rtol=1e-5, atol=1e-6,
+                err_msg=f"sample {i} metric {name}")
