@@ -53,7 +53,7 @@ def main(argv=None):
     from .common import add_model_shape_args
 
     add_model_shape_args(p)
-    p.add_argument("--compute_dtype", default=None, choices=[None, "bfloat16", "float32"])
+    p.add_argument("--compute_dtype", default=None, choices=[None, "bfloat16", "float32", "float64"])
     p.add_argument("--visualize", action="store_true",
                    help="dump GT/pred/error PNG grids over the WHOLE eval set, "
                         "one file per --vis_batch_size samples (test.py:288-320)")

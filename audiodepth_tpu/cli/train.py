@@ -201,7 +201,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_devices", type=int, default=None)
     p.add_argument("--seed", type=int, default=None,
                    help="PRNG seed for init + epoch shuffles (mode.seed)")
-    p.add_argument("--compute_dtype", default=None, choices=[None, "bfloat16", "float32"])
+    p.add_argument("--compute_dtype", default=None, choices=[None, "bfloat16", "float32", "float64"])
     p.add_argument("--num_samples", type=int, default=256,
                    help="synthetic dataset size")
     p.add_argument("--device_cache", action="store_true",

@@ -65,7 +65,7 @@ class ModeConfig:
     eval_on: str = "test"
     stat_dir: str = "./eval/"
     # engine
-    compute_dtype: str = "bfloat16"         # bfloat16 | float32
+    compute_dtype: str = "bfloat16"         # bfloat16 | float32 | float64
     data_axis: str = "data"                 # mesh axis name for DP
     debug_nans: bool = False                # jax.debug_nans (numeric sanitizer)
     save_on_preempt: bool = True            # SIGTERM → checkpoint last epoch
@@ -274,6 +274,19 @@ def load_config(
         cfg = apply_overrides(cfg, overrides)
     validate(cfg)
     return cfg
+
+
+def resolve_compute_dtype(cfg_or_name):
+    """Map mode.compute_dtype to a jnp dtype — the ONE place the mapping
+    lives. float64 is the parity/debug mode (tests/test_driver_parity.py
+    runs the whole CLI train path in f64 against the genuine reference
+    drivers); bfloat16 is the TPU production default."""
+    import jax.numpy as jnp
+
+    name = getattr(getattr(cfg_or_name, "mode", cfg_or_name), "compute_dtype",
+                   cfg_or_name)
+    return {"bfloat16": jnp.bfloat16, "float64": jnp.float64}.get(
+        name, jnp.float32)
 
 
 def validate(cfg: Config) -> None:

@@ -100,7 +100,9 @@ def build_unet(cfg, input_nc=None) -> UNetGenerator:
         num_downs = 7
     else:
         raise NotImplementedError(f"generator {gen!r} not recognized")
-    compute = jnp.bfloat16 if cfg.mode.compute_dtype == "bfloat16" else jnp.float32
+    from ..configs import resolve_compute_dtype
+
+    compute = resolve_compute_dtype(cfg)
     return UNetGenerator(
         input_nc=input_nc if input_nc is not None else cfg.model.input_nc,
         output_nc=cfg.model.output_nc,

@@ -112,7 +112,9 @@ class UNetCVAE(nn.Module):
 
 def build_unet_cvae(cfg) -> UNetCVAE:
     num_downs = 8 if cfg.model.generator == "unet_256" else 7
-    compute = jnp.bfloat16 if cfg.mode.compute_dtype == "bfloat16" else jnp.float32
+    from ..configs import resolve_compute_dtype
+
+    compute = resolve_compute_dtype(cfg)
     return UNetCVAE(
         input_nc=cfg.model.input_nc,
         output_nc=cfg.model.output_nc,

@@ -117,10 +117,23 @@ class Engine:
             valid = batch.pop("_valid", None)
             batch = decode_batch(batch, self._depth_units)
             out = task.eval_metrics(state.params, state.batch_stats, batch)
+            # the reference driver's val LOSS is a per-BATCH scalar — the
+            # training criterion on the pooled valid pixels of the whole
+            # batch (train.py:744-771) — aggregated as an equal-weight mean
+            # over batches (np.mean(batch_loss_val), train.py:842). That is
+            # a different quantity from the per-sample 'loss' above
+            # (test.py:240 semantics); both are reported. Pad rows carry
+            # depth == 0, so the criterion's gt-mask excludes them.
+            crit = getattr(task, "eval_criterion_loss", None)
+            batch_loss = (crit(state.params, state.batch_stats, batch,
+                               valid=valid)
+                          if crit is not None else None)
             if valid is not None:
                 valid = valid.astype(jnp.float32)
                 out = {k: v * valid for k, v in out.items()}
                 out["_valid"] = valid
+            if batch_loss is not None:
+                out["_batch_criterion_loss"] = batch_loss
             return out, batch
 
         def eval_step(state: TrainState, batch):
@@ -336,6 +349,8 @@ class Engine:
                     profiler.start()
                 t0 = _time.perf_counter()
                 n_samples = 0
+                n_steps = 0
+                loss_sum = None
                 last_metrics: Dict[str, Any] = {}
                 from ..data.prefetch import device_prefetch
 
@@ -347,13 +362,21 @@ class Engine:
                     n_samples += int(next(iter(batch.values())).shape[0])
                     state, metrics = self.train_step(state, batch, epoch=float(epoch - 1))
                     last_metrics = metrics
+                    if metrics.get("loss") is not None:
+                        # epoch loss = MEAN over steps (np.mean(batch_loss),
+                        # train.py:712-713) — accumulated lazily on device;
+                        # the single host readback below also serves as the
+                        # epoch-time sync point
+                        loss_sum = (metrics["loss"] if loss_sum is None
+                                    else loss_sum + metrics["loss"])
+                        n_steps += 1
                 if preempt["sig"] is not None:
                     break  # partial epoch: fall through to the preemption save
-                if last_metrics.get("loss") is not None:
+                if loss_sum is not None:
                     # host readback, not block_until_ready: the latter does
                     # not wait for compute on remote-tunnel platforms, which
                     # would make epoch_time measure dispatch only
-                    last_metrics["loss"] = float(last_metrics["loss"])
+                    last_metrics["loss"] = float(loss_sum) / n_steps
                 dt = _time.perf_counter() - t0
                 if profiler is not None and epoch == profile_epoch:
                     profiler.stop()
@@ -451,9 +474,17 @@ class Engine:
         """Mean per-sample metrics over an eval split (pad rows excluded)."""
         sums: Dict[str, float] = {}
         count = 0.0
+        crit_sum, n_batches = 0.0, 0
         for batch in batches:
             out = dict(self.eval_step(state, batch))
             valid = out.pop("_valid", None)
+            # per-BATCH criterion loss: equal-weight mean over batches,
+            # replicating np.mean(batch_loss_val) (train.py:842) exactly —
+            # including its equal weighting of a ragged tail batch
+            bl = out.pop("_batch_criterion_loss", None)
+            if bl is not None:
+                crit_sum += float(bl)
+                n_batches += 1
             if valid is not None:
                 count += float(jnp.sum(valid))
             else:
@@ -462,4 +493,7 @@ class Engine:
                 sums[k] = sums.get(k, 0.0) + float(jnp.sum(v))
         if count == 0:
             return {}
-        return {k: v / count for k, v in sums.items()}
+        result = {k: v / count for k, v in sums.items()}
+        if n_batches:
+            result["criterion_loss"] = crit_sum / n_batches
+        return result

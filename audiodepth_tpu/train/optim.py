@@ -68,4 +68,12 @@ def make_optimizer(mode: ModeConfig, steps_per_epoch: int = 1) -> optax.Gradient
         opt = optax.sgd(sched, momentum=mode.sgd_momentum or None)
     else:
         raise ValueError(f"unknown optimizer {mode.optimizer!r}")
-    return optax.chain(optax.clip_by_global_norm(mode.grad_clip_norm), opt)
+    # grad_clip_norm <= 0 disables clipping. Reference nuance: train.py /
+    # cvae / base_residual / adabins / coarse all clip at 1.0, but the
+    # rgb_depth and binaural_attention drivers do NOT clip at all — our
+    # default keeps 1.0 for every family as a stability choice (documented
+    # deviation); set mode.grad_clip_norm=0 to reproduce those two drivers
+    # bit-for-bit (tests/test_trajectory_parity.py rgb_depth does).
+    if mode.grad_clip_norm and mode.grad_clip_norm > 0:
+        return optax.chain(optax.clip_by_global_norm(mode.grad_clip_norm), opt)
+    return opt

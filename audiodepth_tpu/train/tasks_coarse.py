@@ -56,7 +56,9 @@ class CoarseDepthTask(Task):
         self.coarse_weight = float(extra.get("coarse_weight", 1.0))
         self.final_weight = float(extra.get("final_weight", 1.0))
         self.soft_ce_sigma = float(extra.get("soft_ce_sigma", 2.0))
-        dtype = jnp.bfloat16 if cfg.mode.compute_dtype == "bfloat16" else jnp.float32
+        from ..configs import resolve_compute_dtype
+
+        dtype = resolve_compute_dtype(cfg)
 
         edges, centers = compute_bin_edges(
             self.n_bins,

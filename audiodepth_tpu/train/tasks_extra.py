@@ -32,7 +32,9 @@ from .tasks import Task
 
 
 def _compute_dtype(cfg: Config):
-    return jnp.bfloat16 if cfg.mode.compute_dtype == "bfloat16" else jnp.float32
+    from ..configs import resolve_compute_dtype
+
+    return resolve_compute_dtype(cfg)
 
 
 class BaseResidualTask(Task):
@@ -69,7 +71,11 @@ class BaseResidualTask(Task):
 
     def _final(self, base, residual, epoch):
         if self.use_adaptive:
-            detach = epoch > self.warmup_epochs
+            # engine passes a 0-based epoch scalar; the reference flips on
+            # its 1-based loop variable (`epoch > args.warmup_epochs`,
+            # train_base_residual.py:370-374), i.e. 0-based epoch >= warmup.
+            # Pinned across the boundary by test_trajectory_parity.py.
+            detach = epoch >= self.warmup_epochs
             base_used = jnp.where(detach, jax.lax.stop_gradient(base), base)
         else:
             base_used = base
