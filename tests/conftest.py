@@ -24,9 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pytest
 
 # ---------------------------------------------------------------------------
-# Marker groups (CLAUDE.md "Test suite groups"): the full suite outgrew any
-# 10-minute command window on this 1-CPU host, so every module is auto-marked
-# into one of four groups, each runnable standalone via `-m <group>`.
+# Marker groups (CLAUDE.md "Commands"): the full suite outgrew any 10-minute
+# command window on this 1-CPU host, so every module is auto-marked into one
+# of seven groups, each runnable standalone via `-m <group>`. r4 review:
+# trajectory parity outgrew the parity group (15:43) — it now rides alone,
+# as does the driver A/B group.
 # ---------------------------------------------------------------------------
 _QUICK = {
     "test_config", "test_losses", "test_metrics", "test_frontend",
@@ -34,9 +36,11 @@ _QUICK = {
     "test_sparse_dataset", "test_tools", "test_native_io", "test_serve",
 }
 _PARITY = {
-    "test_grad_parity", "test_trajectory_parity", "test_optim",
+    "test_grad_parity", "test_optim",
     "test_torch_interop", "test_data_pipeline_parity",
 }
+_TRAJECTORY = {"test_trajectory_parity"}
+_DRIVER = {"test_driver_parity"}
 _DIST = {
     "test_sharding", "test_sharded_stft", "test_ckpt_topology",
 }
@@ -50,6 +54,10 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.quick)
         elif mod in _PARITY:
             item.add_marker(pytest.mark.parity)
+        elif mod in _TRAJECTORY:
+            item.add_marker(pytest.mark.trajectory)
+        elif mod in _DRIVER:
+            item.add_marker(pytest.mark.driver)
         elif mod in _DIST:
             item.add_marker(pytest.mark.dist)
         elif mod in _CLUSTER:
