@@ -64,6 +64,10 @@ def main(argv=None):
                         "{results_dir}/{experiment}/{eval_on}/ (test.py:223)")
     p.add_argument("--save_tensors", action="store_true",
                    help="include full gt/pred tensors in the stats artifact")
+    p.add_argument("--override", action="append", default=[],
+                   metavar="SECTION.KEY=VALUE",
+                   help="dotted config override, same grammar as cli.train "
+                        "(applied after every named flag)")
     args = p.parse_args(argv)
 
     from ..compilation_cache import enable as _enable_compile_cache
@@ -90,6 +94,12 @@ def main(argv=None):
         overrides["model.input_nc"] = 3
     cfg = load_config(args.dataset, "test", args.experiment_name, args.model,
                       overrides=overrides)
+    if args.override:
+        from ..configs import apply_overrides
+        from .train import _parse_override
+
+        cfg = apply_overrides(
+            cfg, dict(_parse_override(spec) for spec in args.override))
     # eval batching: test.yaml default is 1; larger is fine on TPU
     bs = args.batch_size or 16
 

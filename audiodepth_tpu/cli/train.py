@@ -509,7 +509,9 @@ def main(argv=None):
 
             cache_train, cache_val = _BinnedView(train_ds), _BinnedView(val_ds)
 
-        units = 1.0 if cfg.dataset.depth_norm else float(cfg.dataset.max_depth)
+        from ..data.codec import depth_storage_units
+
+        units = depth_storage_units(cfg)
         # under a mesh, shard the cached split row-wise across the data
         # axis: every chip's HBM carries 1/n of the corpus and the per-step
         # gather rides ICI, instead of pinning the whole split (and every
@@ -606,7 +608,9 @@ def main(argv=None):
         vis_dir = _os.path.join(args.results_dir, exp)
 
         def vis_callback(epoch, first_batch, pred_m):
-            units = 1.0 if cfg.dataset.depth_norm else cfg.dataset.max_depth
+            from ..data.codec import depth_storage_units
+
+            units = depth_storage_units(cfg)
             gt = _np.asarray(first_batch["depth"])
             if gt.dtype == _np.uint16:  # compact transport form
                 gt = gt.astype(_np.float32) * (units / 65535.0)

@@ -238,7 +238,11 @@ class BatvisionV2Dataset:
             wav, depth = native_io.assemble_batch(
                 wavs, depths, fixed_len=self.wave_len,
                 out_hw=(size, size),
-                max_depth=ds.max_depth, depth_norm=bool(ds.depth_norm),
+                # the genuine BV2 class never normalizes, whatever
+                # depth_norm says (BatvisionV2_Dataset.py:54-80) — the
+                # python sample() path above mirrors that, so the native
+                # decoder must too (codec.py::depth_storage_normalized)
+                max_depth=ds.max_depth, depth_norm=False,
             )
             out = {"depth": depth}
             if wav is not None:

@@ -27,6 +27,27 @@ import numpy as np
 _DEPTH_KEYS = ("depth", "original_depth")
 
 
+def depth_storage_normalized(cfg) -> bool:
+    """Whether the DATASET stores depth normalized to [0, 1].
+
+    BV1, synthetic, and sparse-depth divide by max_depth when
+    cfg.dataset.depth_norm (BatvisionV1_Dataset.py:63-64); the genuine BV2
+    class ignores the flag and always keeps meters
+    (BatvisionV2_Dataset.py:54-80) — the reference driver's depth_norm
+    branch then scales those meters by max_depth again, a quirk the tasks
+    reproduce via to_meters. The codec must clip to the STORED range, so
+    every units decision routes through here (was: a scattered
+    `1.0 if depth_norm else max_depth` that crushed BV2+depth_norm
+    batches to [0, 1]; caught by tests/test_driver_parity.py).
+    """
+    return bool(cfg.dataset.depth_norm) and cfg.dataset.name != "batvisionv2"
+
+
+def depth_storage_units(cfg) -> float:
+    """Upper bound of the dataset's stored depth values (codec clip range)."""
+    return 1.0 if depth_storage_normalized(cfg) else float(cfg.dataset.max_depth)
+
+
 def encode_batch(batch: Dict[str, np.ndarray], max_depth_units: float) -> Dict[str, np.ndarray]:
     """Host-side: fp32 batch → compact dtypes. Leaves other keys untouched."""
     out = dict(batch)

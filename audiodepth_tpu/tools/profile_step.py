@@ -132,7 +132,9 @@ def capture(args) -> str:
     batch = next(ds.batches(bs, shuffle=False))
     task = make_task(cfg)
     eng = Engine(cfg, task)
-    du = 1.0 if cfg.dataset.depth_norm else float(cfg.dataset.max_depth)
+    from ..data.codec import depth_storage_units
+
+    du = depth_storage_units(cfg)
     if args.model == "coarse_depth":
         # bin targets are attached host-side (cli/train.py does the same);
         # profile a fixed device-resident batch instead of the cache

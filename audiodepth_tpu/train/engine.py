@@ -58,9 +58,11 @@ class Engine:
 
         self._lr_schedule = make_schedule(cfg.mode, steps_per_epoch)
         self._steps_per_epoch = steps_per_epoch
-        # compact-transport decode scale: depth is stored normalized ([0,1])
-        # when depth_norm, metric meters otherwise
-        self._depth_units = 1.0 if cfg.dataset.depth_norm else float(cfg.dataset.max_depth)
+        # compact-transport decode scale: the dataset's STORED depth range
+        # (normalized [0,1] or meters — data/codec.py::depth_storage_units)
+        from ..data.codec import depth_storage_units
+
+        self._depth_units = depth_storage_units(cfg)
         if cfg.mode.debug_nans:
             # numeric sanitizer (the reference's closest analogue is its
             # scattered NaN scrubbing — SURVEY §5); fails fast on NaN/Inf

@@ -278,7 +278,9 @@ def main():
     probe = _CompileCacheProbe()
     task = make_task(cfg)
     eng = Engine(cfg, task)
-    depth_units = 1.0 if cfg.dataset.depth_norm else float(cfg.dataset.max_depth)
+    from audiodepth_tpu.data.codec import depth_storage_units
+
+    depth_units = depth_storage_units(cfg)
 
     # Move the warmup bytes over the tunnel ONCE, in compact form (41 MB vs
     # 3×41 + 83 MB fp32): the tunnel link — not XLA compile (cached) — is

@@ -133,7 +133,8 @@ class _MelSpectrogram(torch.nn.Module):
 
     def forward(self, waveform):
         spec = self.spectrogram(waveform)  # [..., freq, time]
-        return torch.matmul(spec.transpose(-1, -2), self.fb).transpose(-1, -2)
+        fb = self.fb.to(spec.dtype)  # f32 normally; follows f64 parity runs
+        return torch.matmul(spec.transpose(-1, -2), fb).transpose(-1, -2)
 
 
 # --------------------------------------------------------------- torchvision

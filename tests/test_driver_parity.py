@@ -77,8 +77,11 @@ def f64_mod():
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
-    """BV2-format corpus: two locations (Hall trains, Cave is held out),
-    train/val/test CSVs, WAV echoes + depth .npy in millimeters."""
+    """BV2-format corpus in the genuine per-location layout the reference
+    dataset scans (BatvisionV2_Dataset.py:22-48: <root>/<loc>/<split>.csv):
+    Hall carries train/val/test splits, Cave only a train.csv — the holdout
+    loader re-reads annotation_file_train unblacklisted and substring-filters
+    on 'audio path' (train.py:354-357)."""
     root = tmp_path_factory.mktemp("ab_corpus")
     rng = np.random.default_rng(42)
 
@@ -95,12 +98,13 @@ def corpus(tmp_path_factory):
     header = ("audio path,audio file name,depth path,depth file name,"
               "camera path,camera file name\n")
     train_rows = [put("Hall", f"tr{i}") for i in range(N_TRAIN)]
-    train_rows += [put(HOLDOUT, f"ho{i}") for i in range(BS)]  # holdout rows
+    holdout_rows = [put(HOLDOUT, f"ho{i}") for i in range(BS)]
     val_rows = [put("Hall", f"va{i}") for i in range(N_VAL)]
     test_rows = [put("Hall", f"te{i}") for i in range(N_TEST)]
-    (root / "train.csv").write_text(header + "\n".join(train_rows) + "\n")
-    (root / "val.csv").write_text(header + "\n".join(val_rows) + "\n")
-    (root / "test.csv").write_text(header + "\n".join(test_rows) + "\n")
+    (root / "Hall" / "train.csv").write_text(header + "\n".join(train_rows) + "\n")
+    (root / HOLDOUT / "train.csv").write_text(header + "\n".join(holdout_rows) + "\n")
+    (root / "Hall" / "val.csv").write_text(header + "\n".join(val_rows) + "\n")
+    (root / "Hall" / "test.csv").write_text(header + "\n".join(test_rows) + "\n")
     return root
 
 
@@ -109,7 +113,9 @@ def _patch_ref_cfg(cfg, corpus):
     cfg.dataset.dataset_dir = str(corpus)
     cfg.dataset.images_size = SIZE
     cfg.dataset.depth_norm = True
-    cfg.mode.batch_size = BS
+    # train A/B batches at BS; test.py runs bs=1 so its per-batch loss
+    # vector is a per-sample quantity (comparable to cli.evaluate's)
+    cfg.mode.batch_size = BS if cfg.mode.mode == "train" else 1
     cfg.mode.learning_rate = LR
     cfg.mode.optimizer = "AdamW"
     cfg.mode.shuffle = False
@@ -169,8 +175,12 @@ def ref_train_run(f64_mod, corpus, tmp_path_factory):
 
     real_define_G = driver.define_G
 
-    def pinned_define_G(*a, **k):
-        m = real_define_G(*a, **k)
+    def pinned_define_G(cfg, *a, **k):
+        # train.py:381 hardcodes ngf=64/netG='unet_256'; rebuild at the A/B's
+        # smaller geometry, then pin the transplant bytes.
+        m = real_define_G(cfg, input_nc=2, output_nc=1, ngf=8,
+                          netG="unet_128", norm="batch", use_dropout=False,
+                          init_type="normal", init_gain=0.02, gpu_ids=[])
         m.load_state_dict({k2: torch.from_numpy(v) for k2, v in sd0.items()})
         return m
 
@@ -334,6 +344,12 @@ def test_testpy_stats_artifact_matches(f64_mod, corpus, ref_train_run,
     driver.load_config = lambda **kw: _patch_ref_cfg(
         real_load_config(**kw), corpus)
     driver.DataLoader = _double_loader_factory()
+    real_define_G = driver.define_G
+    # test.py:120 hardcodes ngf=64 (netG comes from cfg.model.generator);
+    # rebuild at the A/B geometry so the checkpoint's shapes fit.
+    driver.define_G = lambda cfg, **k: real_define_G(
+        cfg, input_nc=2, output_nc=1, ngf=8, netG="unet_128", norm="batch",
+        use_dropout=False, init_type="normal", init_gain=0.02, gpu_ids=[])
     cwd, argv = os.getcwd(), sys.argv
     try:
         os.chdir(work)
@@ -345,6 +361,7 @@ def test_testpy_stats_artifact_matches(f64_mod, corpus, ref_train_run,
         os.chdir(cwd)
         sys.argv = argv
         driver.load_config = real_load_config
+        driver.define_G = real_define_G
         torch.set_default_dtype(torch.float32)
     pts = list((work / "eval").rglob("*.pt"))
     assert len(pts) == 1, pts
