@@ -73,9 +73,15 @@ def make_frontend(cfg: Config, mesh=None,
         and "mel" not in fmt
     )
 
+    # f32 is the TPU data-defining precision; float64 mode (parity/debug)
+    # keeps the whole front end in f64 so the driver A/B sees the same
+    # input bits torch does (tests/test_driver_parity.py)
+    fdt = (jnp.float64 if cfg.mode.compute_dtype == "float64"
+           else jnp.float32)
+
     @jax.jit
     def frontend(waveform: jnp.ndarray) -> jnp.ndarray:
-        x = waveform.astype(jnp.float32)
+        x = waveform.astype(fdt)
         if cut is not None:
             x = x[..., :cut]
         if "spectrogram" not in fmt:
@@ -84,6 +90,7 @@ def make_frontend(cfg: Config, mesh=None,
             spec = mel_spectrogram(
                 x, n_fft=512, win_length=64, n_mels=32,
                 sample_rate=ds.sample_rate, f_min=20.0, f_max=20000.0,
+                dtype=fdt,
             )
         elif shard_frames:
             from ..parallel.sharded_stft import sharded_magnitude_stft
@@ -94,7 +101,8 @@ def make_frontend(cfg: Config, mesh=None,
                 batch_axis=batch_axis if batch_axis in mesh.axis_names else None,
             )
         else:
-            spec = magnitude_stft(x, n_fft=512, win_length=64, hop_length=16)
+            spec = magnitude_stft(x, n_fft=512, win_length=64, hop_length=16,
+                                  dtype=fdt)
         if not is_v1:
             spec = log_minmax_per_channel(spec)
         if "resize" in (ds.preprocess or ""):

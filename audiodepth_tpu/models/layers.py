@@ -43,6 +43,61 @@ def at_least_f32(x):
     return x.astype(jnp.promote_types(x.dtype, jnp.float32))
 
 
+class _TorchExactBatchNorm(nn.Module):
+    """BatchNorm core with torch's EXACT running-stat update.
+
+    flax.linen.BatchNorm folds the BIASED batch variance into the running
+    average; torch.nn.BatchNorm2d folds the UNBIASED one (×n/(n−1),
+    n = B·H·W per channel — _functions.py BatchNorm backward). At
+    n = 2048 that is a 5e-4 relative running-var skew, which the
+    driver-level A/B (tests/test_driver_parity.py, eval-mode forwards
+    after a trained epoch) measures directly; train-mode normalization
+    (biased batch stats) is identical in both frameworks. Param/stat
+    names and shapes mirror flax's BatchNorm so existing checkpoints and
+    torch transplants are untouched.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (feat,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (feat,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        if self.use_running_average:
+            mean = ra_mean.value.astype(stat_dtype)
+            var = ra_var.value.astype(stat_dtype)
+        else:
+            xs = x.astype(stat_dtype)
+            mean = jnp.mean(xs, axis=axes)
+            # E[x²]−E[x]² (flax's fast-variance formula); clipped at 0
+            var = jnp.maximum(
+                jnp.mean(jnp.square(xs), axis=axes) - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                n = x.size // feat
+                m = self.momentum
+                unbiased = var * (n / max(n - 1, 1))
+                # accumulate in the STORED stat dtype (f32 normally; f64
+                # transplants keep full precision like torch double mode)
+                rdt = ra_var.value.dtype
+                ra_mean.value = (m * ra_mean.value
+                                 + (1.0 - m) * mean.astype(rdt))
+                ra_var.value = (m * ra_var.value
+                                + (1.0 - m) * unbiased.astype(rdt))
+        y = (x.astype(stat_dtype) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(stat_dtype) + bias.astype(stat_dtype)
+        return y.astype(self.dtype)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm2d twin: momentum 0.9 (torch 0.1), eps 1e-5, affine."""
 
@@ -51,11 +106,14 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.BatchNorm(
+        # explicit name keeps the param/stat tree identical to the old
+        # flax nn.BatchNorm inner module (checkpoints/transplants stable)
+        return _TorchExactBatchNorm(
             use_running_average=self.use_running_average,
             momentum=0.9,
             epsilon=1e-5,
             dtype=self.dtype,
+            name="BatchNorm_0",
         )(x)
 
 

@@ -26,13 +26,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def hann_window_periodic(win_length: int) -> np.ndarray:
+def hann_window_periodic(win_length: int,
+                         dtype=np.float32) -> np.ndarray:
     """Periodic Hann window (matches torch.hann_window default)."""
     n = np.arange(win_length, dtype=np.float64)
-    return (0.5 * (1.0 - np.cos(2.0 * np.pi * n / win_length))).astype(np.float32)
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * n / win_length))).astype(dtype)
 
 
-def stft_basis(n_fft: int, win_length: int) -> np.ndarray:
+def stft_basis(n_fft: int, win_length: int, dtype=np.float32) -> np.ndarray:
     """Windowed real-DFT basis restricted to the window support.
 
     The centered window occupies frame positions [off, off + win_length) with
@@ -50,7 +51,7 @@ def stft_basis(n_fft: int, win_length: int) -> np.ndarray:
     phase = 2.0 * np.pi * k * (off + m) / n_fft
     cos = np.cos(phase) * w[:, None]
     sin = -np.sin(phase) * w[:, None]
-    return np.concatenate([cos, sin], axis=1).astype(np.float32)
+    return np.concatenate([cos, sin], axis=1).astype(dtype)
 
 
 def num_frames(length: int, hop_length: int) -> int:
@@ -63,12 +64,15 @@ def _reflect_pad_last(x: jnp.ndarray, pad: int) -> jnp.ndarray:
     return jnp.pad(x, cfg, mode="reflect")
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "win_length", "hop_length"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_fft", "win_length", "hop_length",
+                                    "dtype"))
 def magnitude_stft(
     waveform: jnp.ndarray,
     n_fft: int = 512,
     win_length: int = 64,
     hop_length: int = 16,
+    dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Magnitude STFT of [..., L] → [..., n_freq, n_frames] (power=1.0).
 
@@ -80,18 +84,19 @@ def magnitude_stft(
     frames_n = num_frames(length, hop_length)
     off = (n_fft - win_length) // 2
 
-    x = _reflect_pad_last(waveform.astype(jnp.float32), n_fft // 2)
+    x = _reflect_pad_last(waveform.astype(dtype), n_fft // 2)
     # gather frames: [..., n_frames, win_length]
     starts = np.arange(frames_n) * hop_length + off
     idx = jnp.asarray(starts[:, None] + np.arange(win_length)[None, :])
     frames = x[..., idx]
 
-    basis = jnp.asarray(stft_basis(n_fft, win_length))
+    basis = jnp.asarray(stft_basis(n_fft, win_length, dtype=np.dtype(dtype)))
     # HIGHEST precision: the front end defines data semantics, so the DFT
-    # matmul must be true fp32 even on TPU (default precision is bf16).
+    # matmul must be true fp32 even on TPU (default precision is bf16);
+    # float64 runs (parity/debug mode) stay float64 end-to-end.
     spec = jnp.matmul(
         frames, basis,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=dtype,
         precision=jax.lax.Precision.HIGHEST,
     )
     re, im = spec[..., :n_freq], spec[..., n_freq:]
@@ -115,6 +120,7 @@ def mel_filterbank(
     f_min: float = 20.0,
     f_max: float = 20000.0,
     norm: Optional[str] = None,
+    dtype=np.float32,
 ) -> np.ndarray:
     """Triangular mel filterbank [n_freq, n_mels], HTK scale, norm=None.
 
@@ -131,12 +137,12 @@ def mel_filterbank(
     if norm == "slaney":
         enorm = 2.0 / (f_pts[2 : n_mels + 2] - f_pts[:n_mels])
         fb *= enorm[None, :]
-    return fb.astype(np.float32)
+    return fb.astype(dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_fft", "win_length", "hop_length", "n_mels", "sample_rate", "f_min", "f_max"),
+    static_argnames=("n_fft", "win_length", "hop_length", "n_mels", "sample_rate", "f_min", "f_max", "dtype"),
 )
 def mel_spectrogram(
     waveform: jnp.ndarray,
@@ -147,6 +153,7 @@ def mel_spectrogram(
     sample_rate: int = 44100,
     f_min: float = 20.0,
     f_max: float = 20000.0,
+    dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Magnitude mel spectrogram of [..., L] → [..., n_mels, n_frames].
 
@@ -155,8 +162,10 @@ def mel_spectrogram(
     """
     if hop_length is None:
         hop_length = win_length // 2
-    mag = magnitude_stft(waveform, n_fft=n_fft, win_length=win_length, hop_length=hop_length)
-    fb = jnp.asarray(mel_filterbank(n_fft // 2 + 1, n_mels, sample_rate, f_min, f_max))
+    mag = magnitude_stft(waveform, n_fft=n_fft, win_length=win_length,
+                         hop_length=hop_length, dtype=dtype)
+    fb = jnp.asarray(mel_filterbank(n_fft // 2 + 1, n_mels, sample_rate,
+                                    f_min, f_max, dtype=np.dtype(dtype)))
     # [..., n_freq, T] x [n_freq, n_mels] -> [..., n_mels, T]
     mel = jnp.einsum("...ft,fm->...mt", mag, fb, precision=jax.lax.Precision.HIGHEST)
     return mel

@@ -63,6 +63,12 @@ class Engine:
         from ..data.codec import depth_storage_units
 
         self._depth_units = depth_storage_units(cfg)
+        # float64 mode is the parity/debug path: ship exact f32 batches
+        # instead of the compact int16/uint16 transport — the uint16 depth
+        # quantum (0.46 mm at 30 m) perturbs gradients at ~1e-5, which the
+        # f64 driver A/B (tests/test_driver_parity.py) resolves
+        self._encode_units = (None if cfg.mode.compute_dtype == "float64"
+                              else self._depth_units)
         if cfg.mode.debug_nans:
             # numeric sanitizer (the reference's closest analogue is its
             # scattered NaN scrubbing — SURVEY §5); fails fast on NaN/Inf
@@ -110,7 +116,7 @@ class Engine:
                 metrics,
             )
 
-        def eval_core(state: TrainState, batch):
+        def eval_core(state: TrainState, batch, epoch):
             # ragged tails arrive padded to a shardable size with a _valid
             # row mask (put_batch / multihost.local_shard); metrics from
             # pad rows are zeroed and the mask is returned so evaluate()
@@ -126,9 +132,13 @@ class Engine:
             # a different quantity from the per-sample 'loss' above
             # (test.py:240 semantics); both are reported. Pad rows carry
             # depth == 0, so the criterion's gt-mask excludes them.
+            # epoch rides along (0-based, same scalar the train step sees)
+            # so curriculum criteria — adaptive base_residual weights,
+            # binaural phase — evaluate with the CURRENT epoch's weights
+            # like the reference drivers do (train_base_residual.py:436-452)
             crit = getattr(task, "eval_criterion_loss", None)
             batch_loss = (crit(state.params, state.batch_stats, batch,
-                               valid=valid)
+                               epoch, valid=valid)
                           if crit is not None else None)
             if valid is not None:
                 valid = valid.astype(jnp.float32)
@@ -138,14 +148,14 @@ class Engine:
                 out["_batch_criterion_loss"] = batch_loss
             return out, batch
 
-        def eval_step(state: TrainState, batch):
-            return eval_core(state, batch)[0]
+        def eval_step(state: TrainState, batch, epoch):
+            return eval_core(state, batch, epoch)[0]
 
-        def eval_step_pred(state: TrainState, batch):
+        def eval_step_pred(state: TrainState, batch, epoch):
             # metrics + prediction/gt in meters from ONE graph: XLA CSEs
             # the shared eval-mode forward, so --visualize/--save_tensors
             # costs no second forward pass over the split
-            out, dec = eval_core(state, batch)
+            out, dec = eval_core(state, batch, epoch)
             pred_m = task.predict_meters(state.params, state.batch_stats, dec)
             return out, pred_m, task.to_meters(dec["depth"])
 
@@ -269,14 +279,16 @@ class Engine:
         with self._mesh_ctx():
             return self._train_step(state, self.put_batch(batch), jnp.float32(epoch))
 
-    def eval_step(self, state, batch):
+    def eval_step(self, state, batch, epoch: float = 0.0):
         with self._mesh_ctx():
-            return self._eval_step(state, self.put_batch(batch))
+            return self._eval_step(state, self.put_batch(batch),
+                                   jnp.float32(epoch))
 
-    def eval_step_pred(self, state, batch):
+    def eval_step_pred(self, state, batch, epoch: float = 0.0):
         """(per-sample metrics, pred meters, gt meters) in one forward."""
         with self._mesh_ctx():
-            return self._eval_step_pred(state, self.put_batch(batch))
+            return self._eval_step_pred(state, self.put_batch(batch),
+                                        jnp.float32(epoch))
 
     def predict_meters(self, state, batch):
         """Jitted depth forward in meters on a DECODED device batch."""
@@ -358,19 +370,26 @@ class Engine:
 
                 for batch in device_prefetch(train_batches(), self.mesh,
                                              self.cfg.mode.data_axis,
-                                             encode_units=self._depth_units):
+                                             encode_units=self._encode_units):
                     if preempt["sig"] is not None:
                         break
                     n_samples += int(next(iter(batch.values())).shape[0])
                     state, metrics = self.train_step(state, batch, epoch=float(epoch - 1))
                     last_metrics = metrics
                     if metrics.get("loss") is not None:
-                        # epoch loss = MEAN over steps (np.mean(batch_loss),
-                        # train.py:712-713) — accumulated lazily on device;
-                        # the single host readback below also serves as the
-                        # epoch-time sync point
-                        loss_sum = (metrics["loss"] if loss_sum is None
-                                    else loss_sum + metrics["loss"])
+                        # epoch metrics = MEAN over steps (np.mean(batch_loss)
+                        # and the per-component means the family drivers log,
+                        # train.py:712-713, train_base_residual.py:395-411) —
+                        # every scalar aux accumulates lazily on device;
+                        # grad_norm keeps its last-step semantics. The single
+                        # host readback below also serves as the epoch-time
+                        # sync point.
+                        comp = {k: v for k, v in metrics.items()
+                                if k != "grad_norm"
+                                and getattr(v, "ndim", None) == 0}
+                        loss_sum = (comp if loss_sum is None else
+                                    {k: loss_sum[k] + v
+                                     for k, v in comp.items()})
                         n_steps += 1
                 if preempt["sig"] is not None:
                     break  # partial epoch: fall through to the preemption save
@@ -378,7 +397,8 @@ class Engine:
                     # host readback, not block_until_ready: the latter does
                     # not wait for compute on remote-tunnel platforms, which
                     # would make epoch_time measure dispatch only
-                    last_metrics["loss"] = float(loss_sum) / n_steps
+                    for k, v in loss_sum.items():
+                        last_metrics[k] = float(v) / n_steps
                 dt = _time.perf_counter() - t0
                 if profiler is not None and epoch == profile_epoch:
                     profiler.stop()
@@ -388,6 +408,12 @@ class Engine:
                     logger.log(
                         {
                             "train/loss": last_metrics.get("loss"),
+                            # per-component epoch means (loss_recon/... in
+                            # the family drivers' wandb logs)
+                            **{f"train/{k}": v
+                               for k, v in last_metrics.items()
+                               if k not in ("loss", "grad_norm")
+                               and isinstance(v, float)},
                             "train/grad_norm": last_metrics.get("grad_norm"),
                             # the lr this epoch STARTED at — epoch N's steps run
                         # the schedule from (N-1)*steps_per_epoch
@@ -399,7 +425,8 @@ class Engine:
                     )
 
                 if val_batches is not None and cfg.validation and epoch % cfg.validation_iter == 0:
-                    val = self.evaluate(state, val_batches())
+                    val = self.evaluate(state, val_batches(),
+                                        epoch=float(epoch - 1))
                     if logger and val:
                         logger.log({f"val/{k}": v for k, v in val.items()}, step=epoch)
                     # in-loop runtime diagnostics (train.py:676-708 analogues):
@@ -431,7 +458,7 @@ class Engine:
                             ckpt_manager.mark_best(
                                 epoch, best_tracker.metric, best_tracker.best_value)
                     for name, hb in (holdout_batches or {}).items():
-                        h = self.evaluate(state, hb())
+                        h = self.evaluate(state, hb(), epoch=float(epoch - 1))
                         if logger and h:
                             logger.log({f"holdout/{name}/{k}": v for k, v in h.items()}, step=epoch)
 
@@ -472,13 +499,17 @@ class Engine:
         return state
 
     # ------------------------------------------------------------------
-    def evaluate(self, state, batches: Iterable) -> Dict[str, float]:
-        """Mean per-sample metrics over an eval split (pad rows excluded)."""
+    def evaluate(self, state, batches: Iterable,
+                 epoch: float = 0.0) -> Dict[str, float]:
+        """Mean per-sample metrics over an eval split (pad rows excluded).
+
+        `epoch` (0-based, same scalar the train step sees) feeds epoch-
+        dependent eval criteria; it does not affect the metric arrays."""
         sums: Dict[str, float] = {}
         count = 0.0
         crit_sum, n_batches = 0.0, 0
         for batch in batches:
-            out = dict(self.eval_step(state, batch))
+            out = dict(self.eval_step(state, batch, epoch))
             valid = out.pop("_valid", None)
             # per-BATCH criterion loss: equal-weight mean over batches,
             # replicating np.mean(batch_loss_val) (train.py:842) exactly —

@@ -184,7 +184,8 @@ class UNetBaselineTask(Task):
         aux = {"loss": loss}
         return loss, (new_stats, aux)
 
-    def eval_criterion_loss(self, params, batch_stats, batch, valid=None):
+    def eval_criterion_loss(self, params, batch_stats, batch, epoch,
+                            valid=None):
         """The reference driver's per-batch validation LOSS: the training
         criterion on the eval-mode forward, pooled valid pixels of the
         whole batch, denormalized meters, mask gt > 0 (train.py:744-771).

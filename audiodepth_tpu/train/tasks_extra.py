@@ -119,6 +119,43 @@ class BaseResidualTask(Task):
         base, residual = self.apply_eval(params, batch_stats, x)
         return jnp.clip(base + residual, 0.0, self.max_depth)
 
+    def eval_criterion_loss(self, params, batch_stats, batch, epoch,
+                            valid=None):
+        """The driver's per-batch val loss: the training criterion on the
+        eval-mode forward with the CURRENT epoch's adaptive weights
+        (train_base_residual.py:436-452; the detach flip is value-neutral
+        under no_grad). Aggregated by Engine.evaluate as the equal-weight
+        mean over batches (np.mean(val_losses), :482). Pad rows carry
+        gt == 0 and drop out of the gt>0 mask."""
+        x = self.prepare(batch)
+        base, residual = self.apply_eval(params, batch_stats, x)
+        final = jnp.clip(base + residual, 0.0, self.max_depth)
+        gt = self.to_meters(batch["depth"])
+        mask = gt > 0
+        if valid is not None:
+            rows = valid.reshape((-1,) + (1,) * (gt.ndim - 1))
+            mask = mask & (rows > 0)
+        if self.recon == "frequency_aware":
+            loss, _ = frequency_aware_base_residual_loss(
+                base, residual, final, gt)
+            return loss
+        if self.use_adaptive:
+            lam_recon, lam_base = adaptive_weights(
+                epoch, self.warmup_epochs,
+                recon_init=self.lambda_recon * 0.5,
+                base_init=self.lambda_base * 2.0,
+            )
+        else:
+            lam_recon, lam_base = self.lambda_recon, self.lambda_base
+        loss, _ = base_residual_loss(
+            base, residual, final, gt, mask,
+            lambda_recon=lam_recon, lambda_base=lam_base,
+            lambda_sparse=self.lambda_sparse,
+            lowpass_kernel=self.lowpass_kernel,
+            recon=self.recon, silog_lambda=self.silog_lambda,
+        )
+        return loss
+
     def predict_parts(self, params, batch_stats, batch):
         """(base, residual, final) for decomposition visualization."""
         x = self.prepare(batch)
